@@ -1,0 +1,41 @@
+"""Spatiotemporal derivative stencils.
+
+TPU-native equivalent of the reference's derivative kernels (SURVEY.md §5.2
+step "derivative stencils"): central differences of the averaged volume
+Ī = (I0 + Ĩ1)/2 for the spatial gradient (Iz, Iy, Ix) and It = Ĩ1 − I0 for
+the temporal derivative (SURVEY.md §10 "Derivatives"). Neumann boundaries
+via replicate padding; Z margins through HaloCtx.zpad.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpuflow3d.grid import HaloCtx, Z_AXIS, neighbor_slices, replicate_pad
+
+
+def central_diff(x: jax.Array, axis: int, ctx: HaloCtx = HaloCtx()) -> jax.Array:
+    """0.5 * (x[p + e] - x[p - e]) with replicate edges (one-sided halves at
+    the global boundary)."""
+    if axis in (Z_AXIS, x.ndim + Z_AXIS):
+        xp = ctx.zpad(x, 1)
+        axis = Z_AXIS
+    else:
+        xp = replicate_pad(x, 1, axis=axis)
+    return 0.5 * (neighbor_slices(xp, 1, axis, +1)
+                  - neighbor_slices(xp, 1, axis, -1))
+
+
+def derivatives(i0: jax.Array, i1w: jax.Array,
+                ctx: HaloCtx = HaloCtx()) -> tuple[jax.Array, jax.Array]:
+    """Returns (g, it): g = (3, D, H, W) spatial gradient (Iz, Iy, Ix) of
+    the averaged volume, it = Ĩ1 − I0."""
+    ibar = 0.5 * (i0 + i1w)
+    g = jnp.stack([
+        central_diff(ibar, Z_AXIS, ctx),
+        central_diff(ibar, -2, ctx),
+        central_diff(ibar, -1, ctx),
+    ])
+    it = i1w - i0
+    return g, it

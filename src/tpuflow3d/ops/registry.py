@@ -1,0 +1,104 @@
+"""Op registry: introspectable catalog of the framework's device ops.
+
+The reference runtime enumerates its CUDA ops as ``CudaOperationBase``
+subclasses with Initialize/Execute/Deinitialize lifecycles and a PTX module
+per op (cuda-flow3d ``src/cuda_operations/``, SURVEY.md §4). On TPU the
+lifecycle is owned by XLA (trace/compile/execute), so ops are plain jitted
+functions; this registry keeps the *catalog* aspect — one entry per device
+op with its halo requirement and roofline byte model — for the CLI, the
+benchmark harness, and per-op testing. Compute never dispatches through
+strings; the registry references the same functions the pipeline calls.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from tpuflow3d import derivatives as _derivatives
+from tpuflow3d import median as _median
+from tpuflow3d import pyramid as _pyramid
+from tpuflow3d import solver as _solver
+from tpuflow3d import warp as _warp
+
+
+@dataclass(frozen=True)
+class OpSpec:
+    """One device op: function, Z-halo need, and an HBM byte model
+    (bytes per voxel per invocation, for roofline reporting)."""
+    name: str
+    fn: Callable
+    z_halo: str              # human-readable margin rule (SURVEY.md §5.3)
+    bytes_per_voxel: float   # f32 read+write model for roofline fractions
+    reference: str           # counterpart op in cuda-flow3d (SURVEY.md §4)
+    doc: str = ""
+
+
+OPS: dict[str, OpSpec] = {}
+
+
+def _register(spec: OpSpec) -> None:
+    OPS[spec.name] = spec
+
+
+def get_op(name: str) -> OpSpec:
+    return OPS[name]
+
+
+_register(OpSpec(
+    name="convolution",
+    fn=_pyramid.smooth,
+    z_halo="kernel radius = ceil(3*sigma)",
+    bytes_per_voxel=8.0 * 3,  # read+write per separable axis pass (fused)
+    reference="CudaOperationConvolution3D",
+    doc="Separable Gaussian smoothing (presmooth + pyramid antialias)."))
+
+_register(OpSpec(
+    name="resample",
+    fn=_pyramid.resize3,
+    z_halo="ceil(in/out) + 1 planes",
+    bytes_per_voxel=8.0,
+    reference="CudaOperationResample3D",
+    doc="Trilinear resample at arbitrary scale; flow upsample scales values "
+        "by the per-axis dim ratio."))
+
+_register(OpSpec(
+    name="registration",
+    fn=_warp.warp_volume,
+    z_halo="ceil(max |flow_z|) + 1 planes",
+    bytes_per_voxel=4 + 12 + 4,  # read I1 + 3 flow comps, write warped
+    reference="CudaOperationRegistration",
+    doc="Backward trilinear warp of the moving volume by the current flow."))
+
+_register(OpSpec(
+    name="derivatives",
+    fn=_derivatives.derivatives,
+    z_halo="1 plane",
+    bytes_per_voxel=8 + 16 + 4,  # read I0,I1w; write g(3)+It
+    reference="derivative stencil kernels (part of solve pipeline)",
+    doc="Spatiotemporal central-difference stencils on (I0 + warped I1)/2."))
+
+_register(OpSpec(
+    name="solve",
+    fn=_solver.sor_halfsweep,
+    z_halo="1 plane per half-sweep (ppermute each sweep)",
+    bytes_per_voxel=64.0,  # du(12) + w(24) + c(12) + g(12) + terms, write 12
+    reference="CudaOperationSolve3D",
+    doc="Red-black SOR half-sweep on the coupled Euler-Lagrange system "
+        "(Sherman-Morrison pointwise solve)."))
+
+_register(OpSpec(
+    name="median",
+    fn=_median.median3,
+    z_halo="1 plane",
+    bytes_per_voxel=24.0,
+    reference="CudaOperationMedian3D",
+    doc="3x3x3 median filter on flow increments."))
+
+_register(OpSpec(
+    name="add",
+    fn=lambda flow, du: flow + du,
+    z_halo="none",
+    bytes_per_voxel=36.0,
+    reference="CudaOperationAdd3D",
+    doc="Flow accumulation s += ds (fused into the level loop by XLA)."))

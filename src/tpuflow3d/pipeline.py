@@ -1,0 +1,137 @@
+"""Coarse-to-fine flow driver (the "entire-data" path).
+
+TPU-native equivalent of the reference's ``OpticalFlowE3D::ComputeFlow``
+(SURVEY.md §5.2): presmooth -> build pyramids -> per level (coarse to fine):
+warp -> derivatives -> nonlinear/SOR inner solve -> median -> accumulate ->
+upsample. Instead of an op-object sequence with per-op kernel launches, the
+entire run is ONE jitted function: per-level loops are ``lax.fori_loop``s,
+shapes are static per level, and XLA sees the whole loop nest (SURVEY.md §9
+design stance). The same implementation runs Z-sharded when given a sharded
+HaloCtx (see tpuflow3d.sharding).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpuflow3d.derivatives import derivatives
+from tpuflow3d.grid import HaloCtx
+from tpuflow3d.median import median3
+from tpuflow3d.params import FlowParams
+from tpuflow3d.pyramid import build_pyramid, smooth, upsample_flow
+from tpuflow3d.solver import parity_mask, solve_increment
+from tpuflow3d.warp import warp_volume
+
+
+def normalize_pair(i0, i1, ctx: HaloCtx):
+    """Jointly rescale both volumes to [0, 1] (global min/max across
+    shards), so alpha/epsilon are intensity-scale invariant."""
+    mn = ctx.pmin(jnp.minimum(jnp.min(i0), jnp.min(i1)))
+    mx = ctx.pmax(jnp.maximum(jnp.max(i0), jnp.max(i1)))
+    scale = 1.0 / jnp.maximum(mx - mn, jnp.asarray(1e-12, i0.dtype))
+    return (i0 - mn) * scale, (i1 - mn) * scale
+
+
+def solve_level(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx,
+                residuals_level=None):
+    """All warp iterations at one pyramid level (static local shapes)."""
+    parity = parity_mask(i0l.shape, ctx)
+    track = residuals_level is not None
+
+    def warp_body(wi, carry):
+        flow, res = carry
+        i1w = warp_volume(i1l, flow, ctx, max_disp=p.flow_clamp)
+        g, it = derivatives(i0l, i1w, ctx)
+        slot = res[wi] if track else None
+        du, slot_out = solve_increment(g, it, flow, p, ctx, parity, slot)
+        if track:
+            res = res.at[wi].set(slot_out)
+        if p.median:
+            du = median3(du, ctx)
+        flow = flow + du
+        if p.flow_clamp > 0.0:
+            flow = jnp.clip(flow, -p.flow_clamp, p.flow_clamp)
+        return (flow, res)
+
+    res0 = residuals_level if track else jnp.zeros((), i0l.dtype)
+    flow, res = lax.fori_loop(0, p.warps, warp_body, (flow, res0))
+    return (flow, res) if track else (flow, None)
+
+
+def compute_flow_impl(i0, i1, p: FlowParams, ctx: HaloCtx,
+                      diagnostics: bool = False):
+    """Local-slab implementation; i0/i1 are (D_local, H, W). The global Z
+    extent is D_local * ctx.n_shards; level shapes are global."""
+    dtype = jnp.dtype(p.dtype)
+    i0 = i0.astype(dtype)
+    i1 = i1.astype(dtype)
+    if p.normalize:
+        i0, i1 = normalize_pair(i0, i1, ctx)
+    if p.presmooth_sigma > 0.0:
+        i0 = smooth(i0, p.presmooth_sigma, ctx)
+        i1 = smooth(i1, p.presmooth_sigma, ctx)
+
+    gshape = (ctx.d_global(i0.shape[-3]), i0.shape[-2], i0.shape[-1])
+    shapes = p.level_shapes(gshape)
+    assert shapes[0] == gshape, (shapes[0], gshape)
+    pyr0 = build_pyramid(i0, shapes, p, ctx)
+    pyr1 = build_pyramid(i1, shapes, p, ctx)
+
+    n_levels = len(shapes)
+    track = diagnostics and p.track_residuals
+    residuals = (jnp.zeros((n_levels, p.warps, p.inner_iterations * p.sweeps),
+                           dtype) if track else None)
+
+    coarsest = pyr0[-1].shape
+    flow = jnp.zeros((3, *coarsest), dtype)
+    for li in range(n_levels - 1, -1, -1):
+        res_level = residuals[li] if track else None
+        flow, res_level = solve_level(pyr0[li], pyr1[li], flow, p, ctx,
+                                      res_level)
+        if track:
+            residuals = residuals.at[li].set(res_level)
+        if li > 0:
+            flow = upsample_flow(flow, shapes[li - 1], ctx)
+            if p.flow_clamp > 0.0:
+                flow = jnp.clip(flow, -p.flow_clamp, p.flow_clamp)
+
+    if diagnostics:
+        diag = {"residuals": residuals} if track else {}
+        return flow, diag
+    return flow
+
+
+@partial(jax.jit, static_argnames=("params", "diagnostics"))
+def _compute_flow_jit(i0, i1, params: FlowParams, diagnostics: bool):
+    d = i0.shape[-3]
+    zm = params.z_multiple
+    d_pad = zm * ((d + zm - 1) // zm)
+    if d_pad != d:
+        rep = jnp.repeat(i0[-1:], d_pad - d, axis=0)
+        i0 = jnp.concatenate([i0, rep], axis=0)
+        i1 = jnp.concatenate([i1, jnp.repeat(i1[-1:], d_pad - d, axis=0)],
+                             axis=0)
+    out = compute_flow_impl(i0, i1, params, HaloCtx(), diagnostics)
+    flow = out[0] if diagnostics else out
+    flow = flow[:, :d]
+    return (flow, out[1]) if diagnostics else flow
+
+
+def compute_flow(i0, i1, params: FlowParams = FlowParams(),
+                 diagnostics: bool = False):
+    """Compute dense 3D optical flow s with I1(x + s(x)) ~= I0(x).
+
+    i0, i1: (D, H, W) volumes (any float/int dtype). Returns (3, D, H, W)
+    flow (displacements along z, y, x in voxels), plus a diagnostics dict
+    when requested (per-sweep residual curves if params.track_residuals).
+    """
+    i0 = jnp.asarray(i0)
+    i1 = jnp.asarray(i1)
+    if i0.shape != i1.shape or i0.ndim != 3:
+        raise ValueError(f"expected two equal-shape 3D volumes, got "
+                         f"{i0.shape} vs {i1.shape}")
+    return _compute_flow_jit(i0, i1, params, diagnostics)

@@ -1,0 +1,223 @@
+"""Relaxation solver for the coupled Euler–Lagrange system.
+
+TPU-native equivalent of the reference's hot op ``CudaOperationSolve3D``
+(red-black SOR on the linearized Euler–Lagrange equations of the variational
+energy, SURVEY.md §4/§10). Per nonlinearity update we precompute the
+Charbonnier weights and the constant part of the right-hand side once; each
+sweep is then a pure 6-neighbor stencil over the increment field.
+
+Per-voxel system (SURVEY.md §10): with data weight psi_d, gradient
+g = (Iz, Iy, Ix), neighbor weights w_pq = alpha*(psi_s[p]+psi_s[q])/2 and
+sw = sum_q w_pq, the 3x3 matrix is
+
+    A = sw * I + psi_d * g g^T          (rank-1 + scaled identity)
+
+so instead of Cramer's rule we use the exact Sherman–Morrison inverse —
+3 fused multiply-adds per voxel, ideal VPU shape:
+
+    A^-1 b = b/sw - g * (psi_d * (g.b)) / (sw * (sw + psi_d*|g|^2))
+
+Red/black coloring uses the *global* parity of (z+y+x) so Z-sharded and
+unsharded runs perform identical updates; the increment's Z halo is
+exchanged via collective-permute before every half-sweep (BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpuflow3d.derivatives import central_diff
+from tpuflow3d.grid import HaloCtx, Z_AXIS, neighbor_slices, replicate_pad
+from tpuflow3d.params import FlowParams
+
+
+class SolveTerms(NamedTuple):
+    """Per-nonlinear-iteration constants consumed by the sweeps."""
+    c: jax.Array        # (3, D, H, W) constant RHS part
+    g: jax.Array        # (3, D, H, W) spatial gradient
+    w: jax.Array        # (6, D, H, W) neighbor weights: z+, z-, y+, y-, x+, x-
+    sw_inv: jax.Array   # (D, H, W) 1 / sum_q w_pq
+    smt: jax.Array      # (D, H, W) psi_d / (sw * (sw + psi_d*|g|^2))
+
+
+def _psi_deriv(q2: jax.Array, penalizer: str, eps: float) -> jax.Array:
+    """Psi'(q^2) up to a constant: Charbonnier 1/sqrt(q^2 + eps^2)."""
+    if penalizer == "quadratic":
+        return jnp.ones_like(q2)
+    return lax.rsqrt(q2 + eps * eps)
+
+
+def parity_mask(shape_local: tuple[int, int, int], ctx: HaloCtx) -> jax.Array:
+    """(D,H,W) int32 global parity of (z + y + x): 0 = red, 1 = black."""
+    d, h, w = shape_local
+    zg = ctx.z_global(d)
+    iy = jnp.arange(h).reshape(1, h, 1)
+    ix = jnp.arange(w).reshape(1, 1, w)
+    return (zg + iy + ix) & 1
+
+
+def _neighbors6(x: jax.Array, ctx: HaloCtx) -> list[jax.Array]:
+    """Values at the 6 neighbors (z+, z-, y+, y-, x+, x-), replicate edges.
+    Works for (D,H,W) and (3,D,H,W)."""
+    xp = ctx.zpad(x, 1)
+    out = [neighbor_slices(xp, 1, Z_AXIS, +1),
+           neighbor_slices(xp, 1, Z_AXIS, -1)]
+    for axis in (-2, -1):
+        xp = replicate_pad(x, 1, axis=axis)
+        out.append(neighbor_slices(xp, 1, axis, +1))
+        out.append(neighbor_slices(xp, 1, axis, -1))
+    return out
+
+
+def _face_masks(shape_local: tuple[int, int, int], ctx: HaloCtx,
+                dtype) -> list[jax.Array]:
+    """Validity of each of the 6 neighbors (0 at global faces -> true
+    Neumann: missing neighbors are excluded from the system)."""
+    d, h, w = shape_local
+    dg = ctx.d_global(d)
+    zg = ctx.z_global(d)
+    iy = jnp.arange(h).reshape(1, h, 1)
+    ix = jnp.arange(w).reshape(1, 1, w)
+    zeros = jnp.zeros((d, h, w), dtype)
+    return [
+        (zg < dg - 1).astype(dtype) + zeros,
+        (zg > 0).astype(dtype) + zeros,
+        (iy < h - 1).astype(dtype) + zeros,
+        (iy > 0).astype(dtype) + zeros,
+        (ix < w - 1).astype(dtype) + zeros,
+        (ix > 0).astype(dtype) + zeros,
+    ]
+
+
+def compute_terms(g: jax.Array, it: jax.Array, flow: jax.Array,
+                  du: jax.Array, p: FlowParams,
+                  ctx: HaloCtx = HaloCtx()) -> SolveTerms:
+    """Nonlinearity update: recompute psi' weights and RHS constants for the
+    current increment estimate (SURVEY.md §5.2 NONLINEAR LOOP)."""
+    dtype = g.dtype
+    shape = it.shape
+
+    # Data term weight from the linearized residual.
+    r = it + jnp.einsum("cdhw,cdhw->dhw", g, du)
+    psi_d = _psi_deriv(r * r, p.penalizer_data, p.eps_data)
+
+    # Smoothness weight from |grad(total flow)|^2 (flow-driven isotropic).
+    total = flow + du
+    s2 = jnp.zeros(shape, dtype)
+    for axis in (Z_AXIS, -2, -1):
+        dgrad = central_diff(total, axis, ctx)  # (3, D, H, W)
+        s2 = s2 + jnp.sum(dgrad * dgrad, axis=0)
+    psi_s = _psi_deriv(s2, p.penalizer_smooth, p.eps_smooth)
+
+    # Directional neighbor weights w_pq = alpha*(psi_s[p]+psi_s[q])/2,
+    # masked to zero across global faces.
+    psi_nb = _neighbors6(psi_s, ctx)
+    masks = _face_masks(shape, ctx, dtype)
+    alpha = jnp.asarray(p.alpha, dtype)
+    w = jnp.stack([alpha * 0.5 * (psi_s + nb) * m
+                   for nb, m in zip(psi_nb, masks)])
+
+    # Constant RHS: -psi_d*g*It + sum_q w_pq*(u[q]-u[p])  (smoothness acts on
+    # the *total* flow u+du; the du[q] part is added fresh each sweep).
+    u_nb = _neighbors6(flow, ctx)  # (6 of (3,D,H,W))
+    nbu = jnp.zeros_like(flow)
+    for wd, unb in zip(w, u_nb):
+        nbu = nbu + wd[None] * (unb - flow)
+    c = -(psi_d * it)[None] * g + nbu
+
+    sw = jnp.sum(w, axis=0)
+    sw_inv = 1.0 / sw
+    q = psi_d * jnp.sum(g * g, axis=0)
+    smt = psi_d * sw_inv / (sw + q)
+    return SolveTerms(c=c, g=g, w=w, sw_inv=sw_inv, smt=smt)
+
+
+def _du_star(du: jax.Array, t: SolveTerms, ctx: HaloCtx) -> jax.Array:
+    """Exact pointwise solution A^-1 b given current neighbor values of du."""
+    du_nb = _neighbors6(du, ctx)  # Z halo exchanged here, every call
+    b = t.c
+    for wd, dnb in zip(t.w, du_nb):
+        b = b + wd[None] * dnb
+    gb = jnp.einsum("cdhw,cdhw->dhw", t.g, b)
+    return b * t.sw_inv[None] - t.g * (gb * t.smt)[None]
+
+
+def sor_halfsweep(du: jax.Array, t: SolveTerms, omega: float,
+                  parity: jax.Array, color: int,
+                  ctx: HaloCtx = HaloCtx()) -> jax.Array:
+    star = _du_star(du, t, ctx)
+    new = (1.0 - omega) * du + omega * star
+    return jnp.where((parity == color)[None], new, du)
+
+
+def jacobi_sweep(du: jax.Array, t: SolveTerms, omega: float,
+                 ctx: HaloCtx = HaloCtx()) -> jax.Array:
+    star = _du_star(du, t, ctx)
+    return (1.0 - omega) * du + omega * star
+
+
+def use_pallas(p: FlowParams) -> bool:
+    """Static backend dispatch: Pallas on TPU-like platforms under 'auto'."""
+    if p.backend == "pallas":
+        return True
+    if p.backend == "xla":
+        return False
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
+def _pallas_interpret() -> bool:
+    return jax.devices()[0].platform not in ("tpu", "axon")
+
+
+def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
+                    p: FlowParams, ctx: HaloCtx, parity: jax.Array,
+                    residuals_slot=None):
+    """Full inner solve: nonlinearity loop x sweep loop. Returns the flow
+    increment (du, dv, dw); optionally records per-sweep residual norms into
+    ``residuals_slot`` (a (inner*sweeps,) array) when track_residuals."""
+    du0 = jnp.zeros_like(flow)
+    track = residuals_slot is not None
+    n_global = 3.0 * ctx.d_global(it.shape[-3]) * it.shape[-2] * it.shape[-1]
+    pallas_sweeps = p.solver == "sor" and use_pallas(p)
+    if pallas_sweeps:
+        from tpuflow3d.pallas.sor import sor_halfsweep_pallas
+        interp = _pallas_interpret()
+        z0 = ctx.z0(it.shape[-3])
+
+    def one_sweep(du, t):
+        if pallas_sweeps:
+            du1 = du
+            for color in (0, 1):
+                lo, hi = ctx.z_halo_planes(du1)
+                du1 = sor_halfsweep_pallas(du1, t.c, t.g, t.w, t.sw_inv,
+                                           t.smt, lo, hi, z0, p.omega,
+                                           color, interpret=interp)
+            return du1
+        if p.solver == "sor":
+            du1 = sor_halfsweep(du, t, p.omega, parity, 0, ctx)
+            du1 = sor_halfsweep(du1, t, p.omega, parity, 1, ctx)
+        else:
+            du1 = jacobi_sweep(du, t, p.jacobi_omega(), ctx)
+        return du1
+
+    def inner_body(k, carry):
+        du, res = carry
+        t = compute_terms(g, it, flow, du, p, ctx)
+
+        def sweep_body(s, carry2):
+            du, res = carry2
+            du1 = one_sweep(du, t)
+            if track:
+                r = ctx.psum(jnp.sum(jnp.abs(du1 - du))) / n_global
+                res = res.at[k * p.sweeps + s].set(r)
+            return (du1, res)
+
+        return lax.fori_loop(0, p.sweeps, sweep_body, (du, res))
+
+    res0 = residuals_slot if track else jnp.zeros((), g.dtype)
+    du, res = lax.fori_loop(0, p.inner_iterations, inner_body, (du0, res0))
+    return (du, res) if track else (du, None)

@@ -1,0 +1,101 @@
+import numpy as np
+
+from tpuflow3d import volume as vio
+
+
+def test_raw_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(8, 6, 4)).astype(np.float32)
+    path = str(tmp_path / "vol.raw")
+    vio.write_raw(path, arr)
+    meta = vio.read_sidecar(path)
+    assert meta.shape == (8, 6, 4) and meta.dtype == "float32"
+    back = vio.read_raw(path)
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_slab_io(tmp_path):
+    rng = np.random.default_rng(1)
+    arr = rng.normal(size=(16, 5, 7)).astype(np.float32)
+    path = str(tmp_path / "vol.raw")
+    meta = vio.VolumeMeta((16, 5, 7), "float32")
+    # write as two slabs (out of order), read back whole + slab
+    vio.write_raw_slab(path, meta, 8, arr[8:])
+    vio.write_raw_slab(path, meta, 0, arr[:8])
+    back = vio.read_raw(path, meta)
+    np.testing.assert_array_equal(back, arr)
+    slab = vio.read_raw_slab(path, meta, 4, 6)
+    np.testing.assert_array_equal(slab, arr[4:10])
+
+
+def test_uint8_volume(tmp_path):
+    arr = np.arange(4 * 3 * 2, dtype=np.uint8).reshape(4, 3, 2)
+    path = str(tmp_path / "v8.raw")
+    vio.write_raw(path, arr)
+    back = vio.read_raw(path)
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_pad_to_multiple():
+    arr = np.random.default_rng(0).normal(size=(10, 4, 4)).astype(np.float32)
+    out = vio.pad_to_multiple(arr, 8)
+    assert out.shape == (16, 4, 4)
+    np.testing.assert_array_equal(out[10:], np.broadcast_to(arr[-1:],
+                                                            (6, 4, 4)))
+
+
+def test_write_flow(tmp_path):
+    flow = np.random.default_rng(0).normal(size=(3, 6, 5, 4)).astype(
+        np.float32)
+    prefix = str(tmp_path / "flow_")
+    vio.write_flow(prefix, flow)
+    u = vio.read_raw(prefix + "u.raw")
+    w = vio.read_raw(prefix + "w.raw")
+    np.testing.assert_array_equal(u, flow[2])  # u = x displacement
+    np.testing.assert_array_equal(w, flow[0])  # w = z displacement
+    mag = vio.read_raw(prefix + "magnitude.raw")
+    np.testing.assert_allclose(mag, np.sqrt((flow ** 2).sum(axis=0)),
+                               rtol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from tpuflow3d import checkpoint as ckpt
+    from tpuflow3d.params import FlowParams
+
+    flow = jnp.asarray(np.random.default_rng(2).normal(
+        size=(3, 8, 6, 4)).astype(np.float32))
+    path = str(tmp_path / "ck")
+    ckpt.save_level_checkpoint(path, flow, level=2, params=FlowParams())
+    back, level = ckpt.load_level_checkpoint(path)
+    assert level == 2
+    np.testing.assert_allclose(back, np.asarray(flow), rtol=1e-6)
+
+
+def test_cli_end_to_end(tmp_path):
+    from tpuflow3d import cli
+    from tpuflow3d import synthetic as syn
+
+    i0, i1, true = syn.make_pair((24, 24, 24),
+                                 syn.translation((0.0, 0.0, 1.0)))
+    f0, f1 = str(tmp_path / "a.raw"), str(tmp_path / "b.raw")
+    vio.write_raw(f0, i0)
+    vio.write_raw(f1, i1)
+    out = str(tmp_path / "flow_")
+    rc = cli.main(["--frame0", f0, "--frame1", f1, "--out", out,
+                   "--levels", "2", "--warps", "2", "--sweeps", "10",
+                   "--alpha", "0.05"])
+    assert rc == 0
+    u = vio.read_raw(out + "u.raw")
+    assert u.shape == (24, 24, 24)
+    # recovered x-displacement ~ 1 where there is texture
+    assert abs(np.median(u) - 1.0) < 0.3
+
+
+def test_ops_registry():
+    from tpuflow3d.ops import OPS
+    for name in ["convolution", "resample", "registration", "solve",
+                 "median", "add", "derivatives"]:
+        assert name in OPS
+        assert OPS[name].reference

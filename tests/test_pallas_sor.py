@@ -1,0 +1,92 @@
+"""Pallas-vs-pure-JAX bit-tolerance tests for the SOR kernel (SURVEY.md §6
+tier 2). Runs the kernel in interpreter mode on CPU; the same code compiles
+for TPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuflow3d.derivatives import derivatives
+from tpuflow3d.grid import HaloCtx
+from tpuflow3d.params import FlowParams
+from tpuflow3d.pallas.sor import sor_halfsweep_pallas
+from tpuflow3d.solver import compute_terms, parity_mask, sor_halfsweep
+from tpuflow3d.warp import warp_volume
+
+
+def _terms(shape=(12, 10, 14), seed=0, alpha=0.05):
+    rng = np.random.default_rng(seed)
+    i0 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    shift = jnp.zeros((3, *shape), jnp.float32).at[2].set(0.7)
+    i1 = warp_volume(i0, -shift)
+    g, it = derivatives(i0, i1)
+    p = FlowParams(alpha=alpha)
+    flow = jnp.asarray(rng.normal(size=(3, *shape)).astype(np.float32)) * 0.1
+    du = jnp.asarray(rng.normal(size=(3, *shape)).astype(np.float32)) * 0.05
+    t = compute_terms(g, it, flow, du, p)
+    return du, t
+
+
+@pytest.mark.parametrize("color", [0, 1])
+@pytest.mark.parametrize("shape", [(12, 10, 14), (8, 16, 16), (7, 9, 11)])
+def test_halfsweep_matches_xla(shape, color):
+    du, t = _terms(shape)
+    omega = 1.7
+    ctx = HaloCtx()
+    parity = parity_mask(du.shape[1:], ctx)
+    ref = sor_halfsweep(du, t, omega, parity, color, ctx)
+
+    lo, hi = ctx.z_halo_planes(du)
+    got = sor_halfsweep_pallas(du, t.c, t.g, t.w, 1.0 / jnp.sum(t.w, axis=0),
+                               t.smt, lo, hi, 0, omega, color,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_halfsweep_with_z_offset_parity():
+    """With an odd global z offset the color assignment flips."""
+    du, t = _terms((8, 8, 8))
+    ctx = HaloCtx()
+    lo, hi = ctx.z_halo_planes(du)
+    a = sor_halfsweep_pallas(du, t.c, t.g, t.w, 1.0 / jnp.sum(t.w, axis=0),
+                             t.smt, lo, hi, 0, 1.5, 0, interpret=True)
+    b = sor_halfsweep_pallas(du, t.c, t.g, t.w, 1.0 / jnp.sum(t.w, axis=0),
+                             t.smt, lo, hi, 1, 1.5, 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_full_sweep_sequence_matches():
+    """Red then black through the Pallas kernel == XLA full sweep."""
+    du, t = _terms((10, 12, 8))
+    omega = 1.8
+    ctx = HaloCtx()
+    parity = parity_mask(du.shape[1:], ctx)
+    ref = sor_halfsweep(du, t, omega, parity, 0, ctx)
+    ref = sor_halfsweep(ref, t, omega, parity, 1, ctx)
+
+    sw_inv = 1.0 / jnp.sum(t.w, axis=0)
+    got = du
+    for color in (0, 1):
+        lo, hi = ctx.z_halo_planes(got)
+        got = sor_halfsweep_pallas(got, t.c, t.g, t.w, sw_inv, t.smt,
+                                   lo, hi, 0, omega, color, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_pipeline_pallas_backend_matches_xla():
+    """Full pipeline with the Pallas solver (interpret mode on CPU) ==
+    XLA-solver pipeline."""
+    from tpuflow3d import FlowParams, compute_flow
+    from tpuflow3d import synthetic as syn
+
+    shape = (16, 16, 16)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 0.5)),
+                              seed=1)
+    p = FlowParams(levels=2, warps=2, inner_iterations=2, sweeps=5,
+                   alpha=0.05)
+    ref = np.asarray(compute_flow(i0, i1, p.replace(backend="xla")))
+    got = np.asarray(compute_flow(i0, i1, p.replace(backend="pallas")))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)

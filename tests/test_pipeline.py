@@ -1,0 +1,81 @@
+"""End-to-end gate: config #1 of the ladder (BASELINE.json:7) —
+64^3 Gaussian-blob translation/rotation, 3-level pyramid, CPU-runnable,
+analytic ground truth -> EPE assertions.
+
+Thresholds are calibrated to what variational flow can recover per texture:
+translations on blob texture are near-exact; nonrigid fields use dense
+Fourier texture (blob texture under-constrains tangential components via
+the aperture effect — see synthetic.FourierField)."""
+
+import numpy as np
+import pytest
+
+from tpuflow3d import FlowParams, compute_flow
+from tpuflow3d import synthetic as syn
+
+P64 = FlowParams(levels=3, scale_factor=0.5, warps=3, inner_iterations=3,
+                 sweeps=20, alpha=0.05)
+
+
+def _run(shape, flow_fn, params=P64, seed=0, texture="blobs"):
+    i0, i1, true = syn.make_pair(shape, flow_fn, seed=seed, texture=texture)
+    est = np.asarray(compute_flow(i0, i1, params))
+    mask = syn.gradient_mask(i0, 0.75) & syn.interior_mask(shape, 4)
+    return syn.epe(est, true, mask), est, true
+
+
+@pytest.mark.parametrize("shift", [(1.5, -1.0, 0.75), (0.0, 0.0, 2.0)])
+def test_translation_64(shift):
+    err, est, true = _run((64, 64, 64), syn.translation(shift))
+    assert err < 0.05, err
+
+
+def test_rotation_64():
+    fn = syn.rotation(center=(32, 32, 32), axis="z", degrees=2.0)
+    err, est, true = _run((64, 64, 64), fn)
+    assert err < 0.15, err
+
+
+def test_sinusoid_48_dense_texture():
+    shape = (48, 48, 48)
+    fn = syn.sinusoid(shape, amplitude=1.0)
+    err, est, true = _run(shape, fn, P64.replace(alpha=0.02),
+                          texture="fourier")
+    assert err < 0.2, err
+
+
+def test_median_and_clamp_paths():
+    shape = (32, 32, 32)
+    p = P64.replace(median=False, flow_clamp=3.0, levels=2)
+    err, est, true = _run(shape, syn.translation((1.0, 0.5, -0.5)), p)
+    assert err < 0.1, err
+    assert np.abs(est).max() <= 3.0 + 1e-5
+
+
+def test_nondivisible_z_padding():
+    shape = (30, 32, 32)
+    p = P64.replace(levels=2, z_multiple=8)
+    i0, i1, true = syn.make_pair(shape, syn.translation((1.0, 0.0, 0.0)))
+    est = np.asarray(compute_flow(i0, i1, p))
+    assert est.shape == (3, *shape)
+    mask = syn.gradient_mask(i0, 0.75) & syn.interior_mask(shape, 4)
+    assert syn.epe(est, true, mask) < 0.1
+
+
+def test_jacobi_solver_end_to_end():
+    shape = (32, 32, 32)
+    p = P64.replace(solver="jacobi", sweeps=120, levels=2)
+    err, est, true = _run(shape, syn.translation((0.8, -0.6, 0.4)), p)
+    # Jacobi needs ~4x the sweeps of SOR for the same residual; this test
+    # checks the solver path works, the SOR tests check accuracy.
+    assert err < 0.2, err
+
+
+def test_diagnostics_residuals():
+    shape = (32, 32, 32)
+    p = P64.replace(levels=2, track_residuals=True)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((1.0, 0.0, 0.0)))
+    flow, diag = compute_flow(i0, i1, p, diagnostics=True)
+    res = np.asarray(diag["residuals"])
+    assert res.shape == (2, p.warps, p.inner_iterations * p.sweeps)
+    assert (res > 0).all()

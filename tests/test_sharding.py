@@ -1,0 +1,80 @@
+"""Distributed-correctness tier (SURVEY.md §6 tier 4): the Z-sharded run
+must match the unsharded run to tight tolerance on the 8-virtual-device CPU
+mesh (halo-exchange correctness oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuflow3d import FlowParams, compute_flow
+from tpuflow3d import synthetic as syn
+from tpuflow3d.grid import HaloCtx
+from tpuflow3d.sharding import (compute_flow_sharded, make_z_mesh,
+                                prepare_params)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 4,
+                                reason="needs >=4 virtual devices")
+
+
+def _mesh(n):
+    return make_z_mesh(n)
+
+
+def test_zpad_matches_replicate():
+    """Halo exchange == edge replication semantics check via shard_map."""
+    n = 4
+    mesh = _mesh(n)
+    x = jnp.arange(16 * 4 * 4, dtype=jnp.float32).reshape(16, 4, 4)
+
+    from jax.sharding import PartitionSpec as P
+
+    def local(x):
+        ctx = HaloCtx(axis_name="z", n_shards=n)
+        return ctx.zpad(x, 2)
+
+    out = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P("z", None, None),
+        out_specs=P("z", None, None), check_vma=False))(x)
+    # Each shard's padded slab: [z0-2 .. z0+4+2) with edge replication.
+    out = np.asarray(out).reshape(n, 8, 4, 4)
+    ref = np.asarray(HaloCtx().zpad(x, 2))  # replicate-padded global
+    for k in range(n):
+        np.testing.assert_allclose(out[k], ref[k * 4:k * 4 + 8])
+
+
+def test_zpad_allgather_fallback():
+    """Local slab thinner than halo (coarse levels) uses the all-gather
+    path."""
+    n = 8
+    mesh = _mesh(n)
+    x = jnp.arange(8 * 4 * 4, dtype=jnp.float32).reshape(8, 4, 4)
+
+    from jax.sharding import PartitionSpec as P
+
+    def local(x):
+        ctx = HaloCtx(axis_name="z", n_shards=n)
+        return ctx.zpad(x, 3)  # local D = 1 < 3
+
+    out = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P("z", None, None),
+        out_specs=P("z", None, None), check_vma=False))(x)
+    out = np.asarray(out).reshape(n, 7, 4, 4)
+    ref = np.asarray(HaloCtx().zpad(x, 3))
+    for k in range(n):
+        np.testing.assert_allclose(out[k], ref[k:k + 7])
+
+
+def test_sharded_matches_unsharded_64():
+    shape = (64, 32, 32)
+    n = 4
+    i0, i1, _ = syn.make_pair(shape, syn.translation((1.0, -0.5, 0.75)),
+                              seed=2)
+    p = FlowParams(levels=3, warps=2, inner_iterations=2, sweeps=10,
+                   alpha=0.1)
+    p_sharded = prepare_params(p, n)
+    # Run UNSHARDED with the sharded discretization (same z_multiple/clamp)
+    # so the comparison is apples-to-apples.
+    ref = np.asarray(compute_flow(i0, i1, p_sharded))
+    got = np.asarray(compute_flow_sharded(i0, i1, p, mesh=_mesh(n)))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
