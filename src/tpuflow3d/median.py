@@ -19,6 +19,15 @@ import jax.numpy as jnp
 from tpuflow3d.grid import HaloCtx, Z_AXIS, neighbor_slices, replicate_pad
 
 
+def median3_op(x: jax.Array, ctx: HaloCtx, p) -> jax.Array:
+    """Backend-dispatching 27-point median (Pallas on TPU, XLA elsewhere)."""
+    from tpuflow3d.backend import pallas_interpret, use_pallas
+    if use_pallas(p):
+        from tpuflow3d.pallas.median3 import median3_pallas
+        return median3_pallas(ctx.zpad(x, 1), interpret=pallas_interpret())
+    return median3(x, ctx)
+
+
 def median3(x: jax.Array, ctx: HaloCtx = HaloCtx()) -> jax.Array:
     """27-point median of a (..., D, H, W) array (leading axes mapped)."""
     xp = ctx.zpad(x, 1)

@@ -1,0 +1,138 @@
+"""Pallas TPU kernel: 3x3x3 median filter.
+
+Replaces the reference's ``CudaOperationMedian3D`` kernel (SURVEY.md §4) —
+and, unlike the XLA path (median.median3), never materializes the 27-way
+stacked volume in HBM: each grid step loads three Z-planes of the (already
+Z-padded) field and computes the 27-neighborhood median entirely in VMEM.
+
+Median algorithm: *forgetful selection* (the classic GPU median-filter
+construction): start with the first 15 of the 27 values, repeatedly discard
+the running min and max and admit the next value. An element discarded as
+min of the working set can have at most unseen+discarded = 12 < 13 elements
+below it, so it can never be the 14th-smallest; symmetrically for max.
+Live set <= 15 block-arrays (vs 27 for a full sorting network), ~210
+compare-exchanges per voxel of pure VPU min/max.
+
+Boundary semantics match the XLA twin exactly: the caller supplies the
+Z padding (HaloCtx.zpad: replicate or neighbor-shard planes); Y/X faces are
+edge-replicated in-kernel. BY is chosen as a divisor of H so no partial
+blocks exist (replicate rows are then always at block edges).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_by(h: int) -> int:
+    cands = [b for b in range(8, h + 1, 8) if h % b == 0 and b <= 64]
+    return max(cands) if cands else h
+
+
+def _forgetful_median27(vals: list) -> jax.Array:
+    """Median of 27 equal-shape arrays by forgetful selection."""
+    assert len(vals) == 27
+    s = list(vals[:15])
+    rest = list(vals[15:])
+
+    def drop_min_max(s):
+        # Bubble max to the end, then min to the front, drop both.
+        for i in range(len(s) - 1):
+            lo = jnp.minimum(s[i], s[i + 1])
+            hi = jnp.maximum(s[i], s[i + 1])
+            s[i], s[i + 1] = lo, hi
+        for i in range(len(s) - 2, 0, -1):
+            lo = jnp.minimum(s[i - 1], s[i])
+            hi = jnp.maximum(s[i - 1], s[i])
+            s[i - 1], s[i] = lo, hi
+        return s[1:-1]
+
+    s = drop_min_max(s)          # 15 -> 13
+    for v in rest:               # 12 cycles: add 1, drop 2
+        s.append(v)
+        s = drop_min_max(s)
+    assert len(s) == 1
+    return s[0]
+
+
+def _kernel(p0_ref, p1_ref, p2_ref, *rest, nyb: int):
+    yup = rest[0:3]   # 8-row blocks just above this y block, per z plane
+    ydn = rest[3:6]   # 8-row blocks just below, per z plane
+    out_ref = rest[6]
+    j = pl.program_id(1)
+
+    vals = []
+    for dz, pref in enumerate((p0_ref, p1_ref, p2_ref)):
+        plane = pref[:]  # (C, 1, BY, W)
+        up_row = jnp.where(j == nyb - 1, plane[:, :, -1:], yup[dz][:, :, :1])
+        dn_row = jnp.where(j == 0, plane[:, :, :1], ydn[dz][:, :, -1:])
+        ys = [
+            jnp.concatenate([dn_row, plane[:, :, :-1]], axis=2),
+            plane,
+            jnp.concatenate([plane[:, :, 1:], up_row], axis=2),
+        ]
+        for v in ys:
+            vals.append(jnp.concatenate([v[..., :1], v[..., :-1]], axis=3))
+            vals.append(v)
+            vals.append(jnp.concatenate([v[..., 1:], v[..., -1:]], axis=3))
+    out_ref[:] = _forgetful_median27(vals)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def median3_pallas(xp: jax.Array, interpret: bool = False) -> jax.Array:
+    """27-point median of a Z-padded (C, D+2, H, W) array -> (C, D, H, W).
+
+    The caller provides the two Z pad planes (HaloCtx.zpad(x, 1)), which
+    carry replicate or neighbor-shard data; Y/X edges replicate in-kernel.
+    """
+    cch, dp2, h, w = xp.shape
+    d = dp2 - 2
+    by = _pick_by(h)
+    nyb = h // by
+    n8 = h // 8 if by >= 8 and h % 8 == 0 else 1
+
+    def plane_spec(dz):
+        return pl.BlockSpec((cch, 1, by, w), lambda k, j, dz=dz: (0, k + dz, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    if nyb > 1:
+        byb = by // 8
+
+        def yup_spec(dz):
+            return pl.BlockSpec(
+                (cch, 1, 8, w),
+                lambda k, j, dz=dz: (0, k + dz,
+                                     jnp.minimum((j + 1) * byb, n8 - 1), 0),
+                memory_space=pltpu.VMEM)
+
+        def ydn_spec(dz):
+            return pl.BlockSpec(
+                (cch, 1, 8, w),
+                lambda k, j, dz=dz: (0, k + dz,
+                                     jnp.maximum(j * byb - 1, 0), 0),
+                memory_space=pltpu.VMEM)
+    else:
+        def yup_spec(dz):
+            return pl.BlockSpec((cch, 1, by, w),
+                                lambda k, j, dz=dz: (0, k + dz, 0, 0),
+                                memory_space=pltpu.VMEM)
+        ydn_spec = yup_spec
+
+    specs = ([plane_spec(dz) for dz in range(3)]
+             + [yup_spec(dz) for dz in range(3)]
+             + [ydn_spec(dz) for dz in range(3)])
+    out = pl.pallas_call(
+        functools.partial(_kernel, nyb=int(nyb)),
+        grid=(d, nyb),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((cch, 1, by, w), lambda k, j: (0, k, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cch, d, h, w), xp.dtype),
+        interpret=interpret,
+    )(*([xp] * 9))
+    return out

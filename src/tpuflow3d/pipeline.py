@@ -20,7 +20,7 @@ from jax import lax
 
 from tpuflow3d.derivatives import derivatives
 from tpuflow3d.grid import HaloCtx
-from tpuflow3d.median import median3
+from tpuflow3d.median import median3_op
 from tpuflow3d.params import FlowParams
 from tpuflow3d.pyramid import build_pyramid, smooth, upsample_flow
 from tpuflow3d.solver import parity_mask, solve_increment
@@ -51,7 +51,7 @@ def solve_level(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx,
         if track:
             res = res.at[wi].set(slot_out)
         if p.median:
-            du = median3(du, ctx)
+            du = median3_op(du, ctx, p)
         flow = flow + du
         if p.flow_clamp > 0.0:
             flow = jnp.clip(flow, -p.flow_clamp, p.flow_clamp)

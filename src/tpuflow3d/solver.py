@@ -160,19 +160,6 @@ def jacobi_sweep(du: jax.Array, t: SolveTerms, omega: float,
     return (1.0 - omega) * du + omega * star
 
 
-def use_pallas(p: FlowParams) -> bool:
-    """Static backend dispatch: Pallas on TPU-like platforms under 'auto'."""
-    if p.backend == "pallas":
-        return True
-    if p.backend == "xla":
-        return False
-    return jax.devices()[0].platform in ("tpu", "axon")
-
-
-def _pallas_interpret() -> bool:
-    return jax.devices()[0].platform not in ("tpu", "axon")
-
-
 def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
                     p: FlowParams, ctx: HaloCtx, parity: jax.Array,
                     residuals_slot=None):
@@ -182,10 +169,11 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
     du0 = jnp.zeros_like(flow)
     track = residuals_slot is not None
     n_global = 3.0 * ctx.d_global(it.shape[-3]) * it.shape[-2] * it.shape[-1]
+    from tpuflow3d.backend import pallas_interpret, use_pallas
     pallas_sweeps = p.solver == "sor" and use_pallas(p)
     if pallas_sweeps:
         from tpuflow3d.pallas.sor import sor_halfsweep_pallas
-        interp = _pallas_interpret()
+        interp = pallas_interpret()
         z0 = ctx.z0(it.shape[-3])
 
     def one_sweep(du, t):
