@@ -1,0 +1,247 @@
+"""Pallas TPU kernel: fused backward warp + spatiotemporal derivatives.
+
+The "warp+derivative fusion into one Pallas pass" subsystem named in the
+north-star spec (BASELINE.json:5): computes the warped moving volume
+Ĩ1(x) = I1(x + s(x)) AND the derivative fields (Iz, Iy, Ix, It) in a single
+HBM pass, replacing the reference's separate registration + derivative CUDA
+kernels (SURVEY.md §5.2 steps a-b).
+
+TPUs have no texture unit and no efficient per-voxel gather, so the gather
+is reformulated for the VPU as a bounded-displacement select-interpolate:
+with |s| <= clamp (FlowParams.flow_clamp, the same bound that sizes the
+piecewise-mode margin in the reference and the Z halo here), the trilinear
+sample is an exact sum over (2*ceil(clamp)+2)^3 statically-shifted slabs
+weighted by per-voxel one-hot x fractional coefficients — dense vector
+work instead of data-dependent addressing. Cost grows as clamp^3, so the
+dispatcher uses this kernel for clamp <= PALLAS_WARP_MAX_CLAMP and falls
+back to the XLA gather path above it.
+
+Blocks need margin planes beyond BlockSpec granularity (overlapping
+windows), so inputs stay in HBM (memory_space=ANY) and each grid step DMAs
+its slab + margins into VMEM scratch explicitly. Z margins come from
+pre-padded inputs whose pad planes the caller fills via HaloCtx.zpad
+(replicate locally, collective-permute across shards).
+
+Oracle: warp.warp_volume + derivatives.derivatives (bit-tolerance tests).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuflow3d.grid import HaloCtx, pad_yx, replicate_pad
+
+PALLAS_WARP_MAX_CLAMP = 3.0
+
+
+def _pick_by(h: int) -> int:
+    cands = [b for b in range(8, h + 1, 8) if h % b == 0 and b <= 32]
+    return max(cands) if cands else h
+
+
+def _pick_bz(d: int) -> int:
+    # Small Z blocks: the unrolled (2mc+2)^2 y/x gather terms live in VMEM
+    # per z-loop iteration, so block volume must stay modest.
+    best = 1
+    for cand in range(1, min(d, 2) + 1):
+        if d % cand == 0:
+            best = cand
+    return best
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(z0_ref, i1p_ref, flp_ref, i0p_ref, out_ref, i1s, fls, i0s, sems,
+            *, bz: int, by: int, w: int, mc: int, dg: int, h: int,
+            nzb: int, nyb: int, z_sharded: bool):
+    k = pl.program_id(0)
+    j = pl.program_id(1)
+    p = mc + 2  # i1 slab margin: deriv(1) + displacement(mc) + corner(1)
+
+    # DMA windows start at j*by (8-row aligned) in the y-padded arrays and
+    # span the scratch's (8/128-aligned, slack-padded) extent; see
+    # _warp_grad_call for the padding layout.
+    cp1 = pltpu.make_async_copy(
+        i1p_ref.at[pl.ds(k * bz, i1s.shape[0]),
+                   pl.ds(j * by, i1s.shape[1]), :],
+        i1s, sems.at[0])
+    cp2 = pltpu.make_async_copy(
+        flp_ref.at[:, pl.ds(k * bz, fls.shape[1]),
+                   pl.ds(j * by, fls.shape[2]), :],
+        fls, sems.at[1])
+    cp3 = pltpu.make_async_copy(
+        i0p_ref.at[pl.ds(k * bz, i0s.shape[0]),
+                   pl.ds(j * by, i0s.shape[1]), :],
+        i0s, sems.at[2])
+    cp1.start()
+    cp2.start()
+    cp3.start()
+    cp1.wait()
+    cp2.wait()
+    cp3.wait()
+
+    eshape = (bz + 2, by + 2, w + 2)
+    fz32 = jnp.float32
+    fl = fls[:, :, 0:by + 2, 0:w + 2]       # trim alignment slack
+    i0sv = i0s[0:bz + 2, 0:by + 2, 0:w + 2]
+    z0 = z0_ref[0].astype(fz32)
+    # Local (shard-frame) coordinates of extended voxels.
+    lz = jax.lax.broadcasted_iota(jnp.int32, eshape, 0).astype(fz32) \
+        + (k * bz - 1)
+    ly = jax.lax.broadcasted_iota(jnp.int32, eshape, 1).astype(fz32) \
+        + (j * by - 1)
+    lx = jax.lax.broadcasted_iota(jnp.int32, eshape, 2).astype(fz32) - 1.0
+
+    d_local = nzb * bz
+    # Clamp sample coords to the GLOBAL volume (z in the shard frame).
+    tz = jnp.clip(lz + fl[0], 0.0 - z0, (dg - 1) - z0)
+    ty = jnp.clip(ly + fl[1], 0.0, h - 1)
+    tx = jnp.clip(lx + fl[2], 0.0, w - 1)
+
+    # Slab-relative integer offsets and fractions.
+    def split(t, l):
+        fl_ = jnp.floor(t)
+        return (fl_ - l).astype(jnp.int32), t - fl_
+
+    iz, fz = split(tz, lz)   # iz in [-mc, mc]
+    iy, fy = split(ty, ly)
+    ix, fx = split(tx, lx)
+
+    # Accumulate the select-interpolate as a loop over dz (a rolled loop so
+    # Mosaic reuses VMEM temporaries — a fully unrolled (2mc+2)^3 body
+    # overflows scoped VMEM) with the y/x offsets unrolled statically:
+    # Mosaic only supports *dynamic* offsets on the major (non-tiled) dim,
+    # while static unaligned sublane/lane slices are legal.
+    nterms = 2 * mc + 2
+
+    def z_body(dzi, acc):
+        dz = dzi - mc
+        cz = (1.0 - fz) * (iz == dz) + fz * (iz == dz - 1)
+        slab_z = i1s[pl.ds(p - 1 + dz, bz + 2)]  # (bz+2, SY1, LX1)
+        for dy in range(-mc, mc + 2):
+            cy = (1.0 - fy) * (iy == dy) + fy * (iy == dy - 1)
+            czy = cz * cy
+            y_lo = p - 1 + dy
+            for dx in range(-mc, mc + 2):
+                cx = (1.0 - fx) * (ix == dx) + fx * (ix == dx - 1)
+                x_lo = p - 1 + dx
+                sl = slab_z[:, y_lo:y_lo + by + 2, x_lo:x_lo + w + 2]
+                acc = acc + czy * (cx * sl)
+        return acc
+
+    acc = jax.lax.fori_loop(0, nterms, z_body, jnp.zeros(eshape, fz32))
+
+    # Neumann faces: replace virtual layers outside the GLOBAL volume with
+    # their adjacent interior layer (== the XLA path's replicate-pad of the
+    # warped volume before differencing).
+    at_z_lo = (k == 0) if not z_sharded else jnp.logical_and(
+        k == 0, z0 == 0.0)
+    at_z_hi = (k == nzb - 1) if not z_sharded else jnp.logical_and(
+        k == nzb - 1, z0 + d_local == dg)
+    l0 = jnp.where(at_z_lo, acc[1:2], acc[0:1])
+    ln = jnp.where(at_z_hi, acc[-2:-1], acc[-1:])
+    acc = jnp.concatenate([l0, acc[1:-1], ln], axis=0)
+    r0 = jnp.where(j == 0, acc[:, 1:2], acc[:, 0:1])
+    rn = jnp.where(j == nyb - 1, acc[:, -2:-1], acc[:, -1:])
+    acc = jnp.concatenate([r0, acc[:, 1:-1], rn], axis=1)
+    acc = jnp.concatenate([acc[:, :, 1:2], acc[:, :, 1:-1], acc[:, :, -2:-1]],
+                          axis=2)
+
+    ibar = 0.5 * (i0sv + acc)
+    gz = 0.5 * (ibar[2:, 1:-1, 1:-1] - ibar[:-2, 1:-1, 1:-1])
+    gy = 0.5 * (ibar[1:-1, 2:, 1:-1] - ibar[1:-1, :-2, 1:-1])
+    gx = 0.5 * (ibar[1:-1, 1:-1, 2:] - ibar[1:-1, 1:-1, :-2])
+    it = acc[1:-1, 1:-1, 1:-1] - i0sv[1:-1, 1:-1, 1:-1]
+    out_ref[:] = jnp.stack([gz, gy, gx, it])
+
+
+def _rep_pad(x, lo: int, hi: int, axis: int):
+    """Asymmetric edge-replicate pad (hi side carries alignment slack)."""
+    parts = []
+    if lo:
+        parts.append(jnp.take(x, jnp.zeros(lo, jnp.int32), axis=axis))
+    parts.append(x)
+    if hi:
+        parts.append(jnp.take(x, jnp.full(hi, x.shape[axis] - 1, jnp.int32),
+                              axis=axis))
+    return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else x
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dims", "mc", "d_global", "z_sharded",
+                                    "interpret"))
+def _warp_grad_call(i1p, flp, i0p, z0, dims, mc: int, d_global: int,
+                    z_sharded: bool, interpret: bool):
+    d, h, w, bz, by = dims
+    p = mc + 2
+    nzb, nyb = d // bz, h // by
+    sy1 = _round_up(by + 2 * p, 8)
+    sys_ = _round_up(by + 2, 8)
+
+    kernel = functools.partial(
+        _kernel, bz=bz, by=by, w=w, mc=mc, dg=d_global, h=h, nzb=nzb,
+        nyb=nyb, z_sharded=z_sharded)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nzb, nyb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # z0
+            pl.BlockSpec(memory_space=pl.ANY),    # i1 padded (DMA'd)
+            pl.BlockSpec(memory_space=pl.ANY),    # flow padded
+            pl.BlockSpec(memory_space=pl.ANY),    # i0 padded
+        ],
+        out_specs=pl.BlockSpec((4, bz, by, w), lambda k, j: (0, k, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, d, h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bz + 2 * p, sy1, i1p.shape[-1]), jnp.float32),
+            pltpu.VMEM((3, bz + 2, sys_, flp.shape[-1]), jnp.float32),
+            pltpu.VMEM((bz + 2, sys_, i0p.shape[-1]), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(z0, jnp.int32).reshape(1), i1p, flp, i0p)
+    return out[0:3], out[3]
+
+
+def warp_grad_pallas(i1, flow, i0, ctx: HaloCtx = HaloCtx(),
+                     max_disp: float = 2.0, interpret: bool = False):
+    """Fused warp + derivatives. i1/i0 (D,H,W) local slabs, flow (3,D,H,W)
+    with |components| <= max_disp. Returns (g (3,D,H,W), it (D,H,W)).
+
+    Padding layout (DMA tiling alignment): each array is edge-replicate
+    padded with its logical margin on the lo side of y/x and with margin +
+    alignment slack on the hi side, so every DMA window starts at an
+    8-row-aligned offset and spans an (8, 128)-aligned extent.
+    """
+    d, h, w = i1.shape
+    mc = max(1, int(math.ceil(max_disp)))
+    p = mc + 2
+    bz = _pick_bz(d)
+    by = _pick_by(h)
+    nyb = h // by
+    sy1 = _round_up(by + 2 * p, 8)
+    sys_ = _round_up(by + 2, 8)
+
+    def prep(x, zpad_n, m, sy):
+        xp = ctx.zpad(x, zpad_n)
+        ly_hi = (nyb - 1) * by + sy - (h + m)  # slack so the last window fits
+        xp = _rep_pad(xp, m, ly_hi, -2)
+        lx = _round_up(w + 2 * m, 128)
+        xp = _rep_pad(xp, m, lx - w - m, -1)
+        return xp
+
+    i1p = prep(i1, p, p, sy1)
+    flp = prep(flow, 1, 1, sys_)
+    i0p = prep(i0, 1, 1, sys_)
+    return _warp_grad_call(i1p, flp, i0p, ctx.z0(d),
+                           (d, h, w, bz, by), mc, ctx.d_global(d),
+                           ctx.n_shards > 1, interpret)

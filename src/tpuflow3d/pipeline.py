@@ -42,10 +42,21 @@ def solve_level(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx,
     parity = parity_mask(i0l.shape, ctx)
     track = residuals_level is not None
 
+    from tpuflow3d.backend import pallas_interpret, use_pallas
+    from tpuflow3d.pallas.warp_grad import (PALLAS_WARP_MAX_CLAMP,
+                                            warp_grad_pallas)
+    fused_warp = (use_pallas(p)
+                  and 0.0 < p.flow_clamp <= PALLAS_WARP_MAX_CLAMP)
+
     def warp_body(wi, carry):
         flow, res = carry
-        i1w = warp_volume(i1l, flow, ctx, max_disp=p.flow_clamp)
-        g, it = derivatives(i0l, i1w, ctx)
+        if fused_warp:
+            g, it = warp_grad_pallas(i1l, flow, i0l, ctx,
+                                     max_disp=p.flow_clamp,
+                                     interpret=pallas_interpret())
+        else:
+            i1w = warp_volume(i1l, flow, ctx, max_disp=p.flow_clamp)
+            g, it = derivatives(i0l, i1w, ctx)
         slot = res[wi] if track else None
         du, slot_out = solve_increment(g, it, flow, p, ctx, parity, slot)
         if track:
