@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Z-shard across all visible devices")
     ap.add_argument("--devices", type=int, default=None,
                     help="number of devices for --sharded")
+    ap.add_argument("--piecewise", action="store_true",
+                    help="out-of-core: stream Z-chunks through one device "
+                         "(for volumes larger than device memory)")
+    ap.add_argument("--chunk-z", type=int, default=64,
+                    help="Z-chunk planes for --piecewise")
     ap.add_argument("--residuals", action="store_true",
                     help="log per-sweep residual curves")
     ap.add_argument("--log-json", default=None, help="JSONL log file path")
@@ -91,7 +96,12 @@ def _load(path: str, dims, dtype) -> np.ndarray:
     meta = None
     if dims is not None:
         meta = vio.VolumeMeta(tuple(dims), dtype or "float32")
-    return vio.read_raw(path, meta)
+    arr = vio.read_raw(path, meta)
+    if arr.dtype != np.float32:
+        from tpuflow3d.utils import native
+        widened = native.to_f32(arr)  # threaded C++ fast path
+        arr = widened if widened is not None else arr.astype(np.float32)
+    return arr
 
 
 def main(argv=None) -> int:
@@ -109,7 +119,11 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     diagnostics = params.track_residuals
-    if args.sharded:
+    if args.piecewise:
+        from tpuflow3d.piecewise import compute_flow_piecewise
+        flow = compute_flow_piecewise(i0, i1, params, chunk_z=args.chunk_z)
+        diag = {}
+    elif args.sharded:
         from tpuflow3d.sharding import (compute_flow_sharded, make_z_mesh,
                                         prepare_params)
         mesh = make_z_mesh(args.devices)

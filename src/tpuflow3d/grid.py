@@ -54,15 +54,24 @@ def _edge_planes(x: jax.Array, nh: int, side: str) -> jax.Array:
 
 @dataclass(frozen=True)
 class HaloCtx:
-    """Execution context: unsharded (axis_name None) or Z-sharded.
+    """Execution context: unsharded (axis_name None), Z-sharded, or a
+    streamed window of a larger volume (out-of-core "piecewise" mode).
 
     In the sharded case this object lives inside a ``shard_map`` body; all
     arrays seen through it are the local Z-slab. ``n_shards`` and the global
     Z extent are static; the shard index is traced.
+
+    In window mode (``window_z0``/``window_d_global`` set, see
+    tpuflow3d.piecewise) the "local volume" is a Z-chunk slab that already
+    carries its margin planes; ``z0`` may be negative (slab pad region
+    hanging below the volume) and is a traced value. zpad stays replicate —
+    ops over-pad the slab and the driver crops the contaminated margin.
     """
 
     axis_name: Optional[str] = None
     n_shards: int = 1
+    window_z0: object = None       # traced global z of slab plane 0, or None
+    window_d_global: Optional[int] = None
 
     # ---- topology ----
 
@@ -73,6 +82,8 @@ class HaloCtx:
 
     def z0(self, d_local: int):
         """Global z index of local plane 0."""
+        if self.window_z0 is not None:
+            return self.window_z0
         if self.axis_name is None:
             return 0
         return lax.axis_index(self.axis_name) * d_local
@@ -83,7 +94,13 @@ class HaloCtx:
         return idx + self.z0(d_local)
 
     def d_global(self, d_local: int) -> int:
+        if self.window_d_global is not None:
+            return self.window_d_global
         return d_local * self.n_shards
+
+    @property
+    def is_window(self) -> bool:
+        return self.window_z0 is not None
 
     # ---- halo exchange / padding ----
 

@@ -1,0 +1,256 @@
+"""Out-of-core streamed execution — the "piecewise" mode.
+
+Direct TPU-native counterpart of the reference's ``OpticalFlowP3D`` +
+``*_p`` op family (SURVEY.md §5.3): when a volume pair does not fit in
+device HBM (and a multi-chip mesh is not available), the volumes stay
+host-resident and every pipeline phase streams Z-chunks with margin planes
+through the device — margins sized per op exactly like the reference's
+piecewise chunk margins (1 plane for stencils/median, ceil(max|s|)+1 for
+warping, the kernel radius for convolution).
+
+Numerics contract: streamed == in-core (tests/test_piecewise.py). The
+phases call the SAME op implementations as the in-core pipeline, under a
+window HaloCtx (grid.HaloCtx window mode) that maps slab coordinates to
+true volume coordinates for clamping, red-black parity, and Neumann face
+masks. Slab-edge margins are computed with replicate padding and cropped,
+so only real data lands in the host arrays.
+
+Gauss-Seidel ordering note: a red half-sweep reads only black voxels (and
+vice versa), so streaming each HALF-sweep as its own in-place pass over the
+host array preserves the exact in-core update order. (Multi-sweep temporal
+blocking would need trapezoidal wavefronts to stay exact — future work.)
+
+Scale note: this is the single-device overflow path; the first-class way to
+scale past one device is the Z-sharded mesh (tpuflow3d.sharding), which
+keeps everything resident and exchanges halos over ICI instead of PCIe.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuflow3d.derivatives import derivatives
+from tpuflow3d.grid import HaloCtx
+from tpuflow3d.median import median3
+from tpuflow3d.params import FlowParams
+from tpuflow3d.pyramid import (gaussian_kernel1d, resize_axis_local,
+                               resize_z_window, smooth)
+from tpuflow3d.solver import (SolveTerms, compute_terms, jacobi_sweep,
+                              parity_mask, sor_halfsweep)
+from tpuflow3d.warp import warp_volume
+
+DEFAULT_FLOW_CLAMP = 4.0
+
+
+def _host_slab(x: np.ndarray, lo: int, size: int) -> np.ndarray:
+    """Host window [lo, lo+size) along axis -3 with edge replication."""
+    d = x.shape[-3]
+    idx = np.clip(np.arange(lo, lo + size), 0, d - 1)
+    return np.ascontiguousarray(np.take(x, idx, axis=-3))
+
+
+def _wctx(z0, dg: int) -> HaloCtx:
+    return HaloCtx(window_z0=z0, window_d_global=dg)
+
+
+# ---- jitted slab phases (static slab shapes; z0 traced) ----
+
+@partial(jax.jit, static_argnames=("dg", "p"))
+def _ph_warp_deriv(i0s, i1s, fls, z0, dg: int, p: FlowParams):
+    ctx = _wctx(z0, dg)
+    i1w = warp_volume(i1s, fls, ctx, max_disp=p.flow_clamp)
+    g, it = derivatives(i0s, i1w, ctx)
+    return g, it
+
+
+@partial(jax.jit, static_argnames=("dg", "p"))
+def _ph_terms(gs, its, fls, dus, z0, dg: int, p: FlowParams):
+    t = compute_terms(gs, its, fls, dus, p, _wctx(z0, dg))
+    return t.c, t.w, t.sw_inv, t.smt
+
+
+@partial(jax.jit, static_argnames=("dg", "p", "color"))
+def _ph_halfsweep(dus, cs, gs, ws, swis, smts, z0, dg: int, p: FlowParams,
+                  color: int):
+    ctx = _wctx(z0, dg)
+    t = SolveTerms(c=cs, g=gs, w=ws, sw_inv=swis, smt=smts)
+    parity = parity_mask(dus.shape[1:], ctx)
+    return sor_halfsweep(dus, t, p.omega, parity, color, ctx)
+
+
+@partial(jax.jit, static_argnames=("dg", "p"))
+def _ph_jacobi(dus, cs, gs, ws, swis, smts, z0, dg: int, p: FlowParams):
+    ctx = _wctx(z0, dg)
+    t = SolveTerms(c=cs, g=gs, w=ws, sw_inv=swis, smt=smts)
+    return jacobi_sweep(dus, t, p.jacobi_omega(), ctx)
+
+
+@jax.jit
+def _ph_median(dus):
+    return median3(dus, HaloCtx())
+
+
+@partial(jax.jit, static_argnames=("sigma",))
+def _ph_smooth(xs, sigma: float):
+    return smooth(xs, sigma, HaloCtx())
+
+
+@partial(jax.jit, static_argnames=("sigma", "out_len", "scale", "in_global",
+                                   "out_hw"))
+def _ph_resample(xs, z0_out, z0_in, sigma: float, out_len: int, scale: float,
+                 in_global: int, out_hw: tuple[int, int]):
+    if sigma > 0.0:
+        xs = smooth(xs, sigma, HaloCtx())
+    ys = resize_z_window(xs, out_len, z0_out, z0_in, 0, scale, in_global)
+    ys = resize_axis_local(ys, out_hw[0], axis=-2)
+    ys = resize_axis_local(ys, out_hw[1], axis=-1)
+    return ys
+
+
+# ---- streaming drivers ----
+
+def _stream(fn, inputs: list[np.ndarray], margin: int, chunk: int,
+            outs: list[np.ndarray]):
+    """Apply a slab phase over Z-chunks. fn(*slabs, z0) -> slab outputs of
+    the same Z extent; interiors are written into ``outs`` (which may alias
+    an input for colored half-sweeps)."""
+    d = inputs[0].shape[-3]
+    size = chunk + 2 * margin
+    for z0 in range(0, d, chunk):
+        z1 = min(z0 + chunk, d)
+        lo = z0 - margin
+        slabs = [jnp.asarray(_host_slab(x, lo, size)) for x in inputs]
+        res = fn(*slabs, jnp.int32(lo))
+        if not isinstance(res, tuple):
+            res = (res,)
+        for o, r in zip(outs, res):
+            o[..., z0:z1, :, :] = np.asarray(r)[..., margin:margin + z1 - z0,
+                                                :, :]
+    return outs
+
+
+def _stream_resample(x: np.ndarray, out_shape, sigma: float, chunk: int,
+                     ratios=None) -> np.ndarray:
+    """Streamed smooth+trilinear resample (pyramid downsample / flow
+    upsample). x: (..., Din, H, W) host; out_shape global (Dout, Hout,
+    Wout); ratios: per-component scale for flow upsampling."""
+    din, h, w = x.shape[-3], x.shape[-2], x.shape[-1]
+    dout, hout, wout = out_shape
+    scale = din / dout
+    r = 0 if sigma <= 0 else (len(gaussian_kernel1d(sigma)) - 1) // 2
+    win = int(math.ceil(chunk * scale)) + 2 * r + 4
+    out = np.empty((*x.shape[:-3], dout, hout, wout), np.float32)
+    for o0 in range(0, dout, chunk):
+        o1 = min(o0 + chunk, dout)
+        a = int(math.floor((o0 + 0.5) * scale - 0.5)) - 1 - r
+        slab = jnp.asarray(_host_slab(x, a, win))
+        ys = _ph_resample(slab, jnp.int32(o0), jnp.int32(a), sigma, chunk,
+                          scale, din, (hout, wout))
+        out[..., o0:o1, :, :] = np.asarray(ys)[..., :o1 - o0, :, :]
+    if ratios is not None:
+        for c, rt in enumerate(ratios):
+            out[c] *= np.float32(rt)
+    return out
+
+
+def _solve_level_streamed(i0l, i1l, flow, p: FlowParams, chunk: int):
+    d, h, w = i0l.shape
+    mw = int(math.ceil(p.flow_clamp)) + 2  # warp margin + derivative plane
+    for _ in range(p.warps):
+        g = np.empty((3, d, h, w), np.float32)
+        it = np.empty((d, h, w), np.float32)
+        _stream(partial(_ph_warp_deriv, dg=d, p=p), [i0l, i1l, flow],
+                mw, chunk, [g, it])
+        du = np.zeros((3, d, h, w), np.float32)
+        for _k in range(p.inner_iterations):
+            c = np.empty((3, d, h, w), np.float32)
+            wgt = np.empty((6, d, h, w), np.float32)
+            swi = np.empty((d, h, w), np.float32)
+            smt = np.empty((d, h, w), np.float32)
+            _stream(partial(_ph_terms, dg=d, p=p), [g, it, flow, du],
+                    1, chunk, [c, wgt, swi, smt])
+            for _s in range(p.sweeps):
+                if p.solver == "sor":
+                    # One in-place pass per color: red reads only black and
+                    # vice versa, so chunk-sequential in-place updates
+                    # reproduce the in-core order exactly.
+                    for color in (0, 1):
+                        _stream(partial(_ph_halfsweep, dg=d, p=p,
+                                        color=color),
+                                [du, c, g, wgt, swi, smt], 1, chunk, [du])
+                else:
+                    du_new = np.empty_like(du)
+                    _stream(partial(_ph_jacobi, dg=d, p=p),
+                            [du, c, g, wgt, swi, smt], 1, chunk, [du_new])
+                    du = du_new
+        if p.median:
+            du_m = np.empty_like(du)
+            _stream(lambda s, z0: _ph_median(s), [du], 1, chunk, [du_m])
+            du = du_m
+        flow = flow + du
+        if p.flow_clamp > 0:
+            np.clip(flow, -p.flow_clamp, p.flow_clamp, out=flow)
+    return flow
+
+
+def compute_flow_piecewise(i0, i1, params: FlowParams = FlowParams(),
+                           chunk_z: int = 32) -> np.ndarray:
+    """Dense 3D optical flow for volumes that exceed device memory.
+
+    i0, i1: (D, H, W) host arrays (any dtype). All pipeline state stays in
+    host RAM; the device only ever sees (chunk_z + margins) slabs. Returns
+    (3, D, H, W) float32 host flow.
+    """
+    p = params
+    if p.flow_clamp <= 0:
+        p = p.replace(flow_clamp=DEFAULT_FLOW_CLAMP)
+    i0 = np.asarray(i0, np.float32)
+    i1 = np.asarray(i1, np.float32)
+    d_orig = i0.shape[0]
+
+    zm = p.z_multiple
+    d_pad = zm * ((d_orig + zm - 1) // zm)
+    if d_pad != d_orig:
+        i0 = np.concatenate([i0, np.repeat(i0[-1:], d_pad - d_orig, 0)], 0)
+        i1 = np.concatenate([i1, np.repeat(i1[-1:], d_pad - d_orig, 0)], 0)
+
+    if p.normalize:
+        from tpuflow3d.utils import native
+        mm0 = native.minmax_f32(i0) or (float(i0.min()), float(i0.max()))
+        mm1 = native.minmax_f32(i1) or (float(i1.min()), float(i1.max()))
+        mn = np.float32(min(mm0[0], mm1[0]))
+        mx = np.float32(max(mm0[1], mm1[1]))
+        scale = np.float32(1.0) / max(mx - mn, np.float32(1e-12))
+        i0 = (i0 - mn) * scale
+        i1 = (i1 - mn) * scale
+
+    if p.presmooth_sigma > 0:
+        r = (len(gaussian_kernel1d(p.presmooth_sigma)) - 1) // 2
+        sm = partial(_ph_smooth, sigma=p.presmooth_sigma)
+        i0s = np.empty_like(i0)
+        i1s = np.empty_like(i1)
+        _stream(lambda s, z0: sm(s), [i0], r, chunk_z, [i0s])
+        _stream(lambda s, z0: sm(s), [i1], r, chunk_z, [i1s])
+        i0, i1 = i0s, i1s
+
+    shapes = p.level_shapes(i0.shape)
+    pyr0, pyr1 = [i0], [i1]
+    for shp in shapes[1:]:
+        pyr0.append(_stream_resample(pyr0[-1], shp, p.aa_sigma(), chunk_z))
+        pyr1.append(_stream_resample(pyr1[-1], shp, p.aa_sigma(), chunk_z))
+
+    flow = np.zeros((3, *shapes[-1]), np.float32)
+    for li in range(len(shapes) - 1, -1, -1):
+        flow = _solve_level_streamed(pyr0[li], pyr1[li], flow, p, chunk_z)
+        if li > 0:
+            in_shape = flow.shape[1:]
+            ratios = [shapes[li - 1][a] / in_shape[a] for a in range(3)]
+            flow = _stream_resample(flow, shapes[li - 1], 0.0, chunk_z,
+                                    ratios=ratios)
+            np.clip(flow, -p.flow_clamp, p.flow_clamp, out=flow)
+    return flow[:, :d_orig]

@@ -87,6 +87,30 @@ def resize_axis_local(x: jax.Array, out_len: int, axis: int) -> jax.Array:
     return a * (1.0 - f) + b * f
 
 
+def resize_z_window(xp: jax.Array, out_len: int, z0_out, z0_in, nh: int,
+                    scale: float, in_global: int) -> jax.Array:
+    """Core windowed Z resize: xp is an input window padded by nh planes
+    whose plane 0 corresponds to global input plane (z0_in - nh); produces
+    ``out_len`` output planes starting at global output plane z0_out.
+    Shared by the sharded (equal-shard) and out-of-core (streamed chunk)
+    paths so their numerics are identical."""
+    c = _axis_coords(out_len, scale, z0_out)
+    c = jnp.clip(c, 0.0, in_global - 1)
+    i0g = jnp.floor(c).astype(jnp.int32)
+    i1g = jnp.minimum(i0g + 1, in_global - 1)
+    f = c - i0g
+    i0 = i0g - z0_in + nh  # indices into the padded window
+    i1 = i1g - z0_in + nh
+    # mode="clip": indices are in range by the nh bound; clip (instead of
+    # JAX's default NaN fill) so an off-by-one can't silently poison a run.
+    a = jnp.take(xp, i0, axis=Z_AXIS, mode="clip")
+    b = jnp.take(xp, i1, axis=Z_AXIS, mode="clip")
+    fshape = [1] * xp.ndim
+    fshape[Z_AXIS] = out_len
+    f = f.reshape(fshape)
+    return a * (1.0 - f) + b * f
+
+
 def resize_z(x: jax.Array, out_len_global: int, ctx: HaloCtx) -> jax.Array:
     """Linear resize along the (possibly sharded) Z axis.
 
@@ -105,21 +129,8 @@ def resize_z(x: jax.Array, out_len_global: int, ctx: HaloCtx) -> jax.Array:
     xp = ctx.zpad(x, nh)
     z0_out = ctx.shard_index() * out_local
     z0_in = ctx.shard_index() * d_local
-    c = _axis_coords(out_local, scale, z0_out)
-    c = jnp.clip(c, 0.0, in_global - 1)
-    i0g = jnp.floor(c).astype(jnp.int32)
-    i1g = jnp.minimum(i0g + 1, in_global - 1)
-    f = c - i0g
-    i0 = i0g - z0_in + nh  # indices into the padded local slab
-    i1 = i1g - z0_in + nh
-    # mode="clip": indices are in range by the nh bound; clip (instead of
-    # JAX's default NaN fill) so an off-by-one can't silently poison a run.
-    a = jnp.take(xp, i0, axis=Z_AXIS, mode="clip")
-    b = jnp.take(xp, i1, axis=Z_AXIS, mode="clip")
-    fshape = [1] * x.ndim
-    fshape[Z_AXIS] = out_local
-    f = f.reshape(fshape)
-    return a * (1.0 - f) + b * f
+    return resize_z_window(xp, out_local, z0_out, z0_in, nh, scale,
+                           in_global)
 
 
 def resize3(x: jax.Array, out_shape_global: tuple[int, int, int],

@@ -23,6 +23,8 @@ from dataclasses import dataclass, asdict
 
 import numpy as np
 
+from tpuflow3d.utils import native
+
 
 @dataclass(frozen=True)
 class VolumeMeta:
@@ -63,10 +65,15 @@ def read_raw(path: str, meta: VolumeMeta | None = None,
             raise ValueError(f"no dims given and no sidecar for {path}")
     if mmap:
         return np.memmap(path, dtype=meta.dtype, mode="r", shape=meta.shape)
+    n_expected = int(np.prod(meta.shape))
+    actual = os.path.getsize(path)
+    if actual != meta.nbytes:
+        raise ValueError(f"{path}: {actual // np.dtype(meta.dtype).itemsize} "
+                         f"elements, expected {n_expected} for {meta.shape}")
+    buf = native.read_bytes(path, 0, meta.nbytes)  # threaded C++ fast path
+    if buf is not None:
+        return buf.view(meta.dtype).reshape(meta.shape)
     arr = np.fromfile(path, dtype=meta.dtype)
-    if arr.size != int(np.prod(meta.shape)):
-        raise ValueError(f"{path}: {arr.size} elements, expected "
-                         f"{np.prod(meta.shape)} for {meta.shape}")
     return arr.reshape(meta.shape)
 
 
@@ -77,10 +84,15 @@ def read_raw_slab(path: str, meta: VolumeMeta, z0: int, nz: int) -> np.ndarray:
         raise ValueError(f"slab [{z0},{z0 + nz}) out of range for D={d}")
     itemsize = np.dtype(meta.dtype).itemsize
     plane = h * w
+    nbytes = nz * plane * itemsize
+    offset = z0 * plane * itemsize
+    buf = native.read_bytes(path, offset, nbytes)  # threaded C++ fast path
+    if buf is not None:
+        return buf.view(meta.dtype).reshape(nz, h, w)
     with open(path, "rb") as f:
-        f.seek(z0 * plane * itemsize)
-        buf = f.read(nz * plane * itemsize)
-    arr = np.frombuffer(buf, dtype=meta.dtype)
+        f.seek(offset)
+        raw = f.read(nbytes)
+    arr = np.frombuffer(raw, dtype=meta.dtype)
     return arr.reshape(nz, h, w).copy()
 
 
@@ -98,6 +110,8 @@ def write_raw_slab(path: str, meta: VolumeMeta, z0: int,
     itemsize = np.dtype(meta.dtype).itemsize
     plane = h * w
     slab = np.ascontiguousarray(slab.astype(meta.dtype, copy=False))
+    if native.write_bytes(path, z0 * plane * itemsize, slab, meta.nbytes):
+        return
     # Create/extend file to full size on first touch.
     mode = "r+b" if os.path.exists(path) else "w+b"
     with open(path, mode) as f:

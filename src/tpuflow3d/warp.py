@@ -72,6 +72,21 @@ def warp_volume(i1: jax.Array, flow: jax.Array, ctx: HaloCtx = HaloCtx(),
     """
     d_local, h, w = i1.shape
     d_global = ctx.d_global(d_local)
+    if ctx.is_window:
+        # Streamed chunk (piecewise mode): the slab already carries its
+        # margin planes; clamp to the TRUE volume in the slab frame, then to
+        # the slab itself (margin voxels may contaminate, the driver crops).
+        nh = 0
+        vol = i1
+        z0 = ctx.z0(d_local)
+        zi = jnp.arange(d_local, dtype=flow.dtype).reshape(d_local, 1, 1)
+        yi = jnp.arange(h, dtype=flow.dtype).reshape(1, h, 1)
+        xi = jnp.arange(w, dtype=flow.dtype).reshape(1, 1, w)
+        cz = jnp.clip(jnp.clip(zi + flow[0], 0.0 - z0, (d_global - 1) - z0),
+                      0, d_local - 1)
+        cy = jnp.clip(yi + flow[1], 0.0, h - 1)
+        cx = jnp.clip(xi + flow[2], 0.0, w - 1)
+        return _trilinear_gather(vol, cz, cy, cx)
     if ctx.axis_name is None or ctx.n_shards == 1:
         nh = 0
         vol = i1
