@@ -34,6 +34,16 @@ def save_level_checkpoint(path: str, flow: jax.Array, level: int,
     os.makedirs(path, exist_ok=True)
     _, d, h, w = flow.shape
     comp_meta = VolumeMeta((d, h, w), "float32")
+    if isinstance(flow, np.ndarray):
+        # Host-resident flow (piecewise mode): plain full writes.
+        for c in range(3):
+            write_raw_slab(os.path.join(path, f"flow{c}.raw"), comp_meta, 0,
+                           flow[c])
+        if jax.process_index() == 0:
+            with open(_meta_path(path), "w") as f:
+                json.dump({"level": level, "shape": [d, h, w],
+                           "params": repr(params)}, f)
+        return
     for shard in flow.addressable_shards:
         sl = shard.index  # tuple of slices into the global array
         z_sl = sl[1]

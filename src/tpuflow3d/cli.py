@@ -66,6 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "(for volumes larger than device memory)")
     ap.add_argument("--chunk-z", type=int, default=64,
                     help="Z-chunk planes for --piecewise")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="save/resume the flow at pyramid-level boundaries")
     ap.add_argument("--residuals", action="store_true",
                     help="log per-sweep residual curves")
     ap.add_argument("--log-json", default=None, help="JSONL log file path")
@@ -121,7 +123,13 @@ def main(argv=None) -> int:
     diagnostics = params.track_residuals
     if args.piecewise:
         from tpuflow3d.piecewise import compute_flow_piecewise
-        flow = compute_flow_piecewise(i0, i1, params, chunk_z=args.chunk_z)
+        flow = compute_flow_piecewise(i0, i1, params, chunk_z=args.chunk_z,
+                                      checkpoint_dir=args.checkpoint_dir)
+        diag = {}
+    elif args.checkpoint_dir:
+        from tpuflow3d.pipeline import compute_flow_checkpointed
+        flow = compute_flow_checkpointed(i0, i1, params,
+                                         checkpoint_dir=args.checkpoint_dir)
         diag = {}
     elif args.sharded:
         from tpuflow3d.sharding import (compute_flow_sharded, make_z_mesh,

@@ -199,7 +199,8 @@ def _solve_level_streamed(i0l, i1l, flow, p: FlowParams, chunk: int):
 
 
 def compute_flow_piecewise(i0, i1, params: FlowParams = FlowParams(),
-                           chunk_z: int = 32) -> np.ndarray:
+                           chunk_z: int = 32,
+                           checkpoint_dir: str | None = None) -> np.ndarray:
     """Dense 3D optical flow for volumes that exceed device memory.
 
     i0, i1: (D, H, W) host arrays (any dtype). All pipeline state stays in
@@ -244,8 +245,18 @@ def compute_flow_piecewise(i0, i1, params: FlowParams = FlowParams(),
         pyr0.append(_stream_resample(pyr0[-1], shp, p.aa_sigma(), chunk_z))
         pyr1.append(_stream_resample(pyr1[-1], shp, p.aa_sigma(), chunk_z))
 
+    start = len(shapes) - 1
     flow = np.zeros((3, *shapes[-1]), np.float32)
-    for li in range(len(shapes) - 1, -1, -1):
+    if checkpoint_dir is not None:
+        from tpuflow3d import checkpoint as ckpt
+        state = ckpt.load_level_checkpoint(checkpoint_dir)
+        if state is not None:
+            flow_np, level = state
+            if 0 <= level < len(shapes) and \
+                    flow_np.shape[1:] == shapes[level]:
+                flow, start = flow_np, level
+
+    for li in range(start, -1, -1):
         flow = _solve_level_streamed(pyr0[li], pyr1[li], flow, p, chunk_z)
         if li > 0:
             in_shape = flow.shape[1:]
@@ -253,4 +264,7 @@ def compute_flow_piecewise(i0, i1, params: FlowParams = FlowParams(),
             flow = _stream_resample(flow, shapes[li - 1], 0.0, chunk_z,
                                     ratios=ratios)
             np.clip(flow, -p.flow_clamp, p.flow_clamp, out=flow)
+            if checkpoint_dir is not None:
+                from tpuflow3d import checkpoint as ckpt
+                ckpt.save_level_checkpoint(checkpoint_dir, flow, li - 1, p)
     return flow[:, :d_orig]

@@ -73,10 +73,8 @@ def solve_level(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx,
     return (flow, res) if track else (flow, None)
 
 
-def compute_flow_impl(i0, i1, p: FlowParams, ctx: HaloCtx,
-                      diagnostics: bool = False):
-    """Local-slab implementation; i0/i1 are (D_local, H, W). The global Z
-    extent is D_local * ctx.n_shards; level shapes are global."""
+def prepare_pyramids(i0, i1, p: FlowParams, ctx: HaloCtx):
+    """Normalize + presmooth + build both pyramids (fine -> coarse)."""
     dtype = jnp.dtype(p.dtype)
     i0 = i0.astype(dtype)
     i1 = i1.astype(dtype)
@@ -91,6 +89,15 @@ def compute_flow_impl(i0, i1, p: FlowParams, ctx: HaloCtx,
     assert shapes[0] == gshape, (shapes[0], gshape)
     pyr0 = build_pyramid(i0, shapes, p, ctx)
     pyr1 = build_pyramid(i1, shapes, p, ctx)
+    return pyr0, pyr1, shapes
+
+
+def compute_flow_impl(i0, i1, p: FlowParams, ctx: HaloCtx,
+                      diagnostics: bool = False):
+    """Local-slab implementation; i0/i1 are (D_local, H, W). The global Z
+    extent is D_local * ctx.n_shards; level shapes are global."""
+    pyr0, pyr1, shapes = prepare_pyramids(i0, i1, p, ctx)
+    dtype = jnp.dtype(p.dtype)
 
     n_levels = len(shapes)
     track = diagnostics and p.track_residuals
@@ -130,6 +137,64 @@ def _compute_flow_jit(i0, i1, params: FlowParams, diagnostics: bool):
     flow = out[0] if diagnostics else out
     flow = flow[:, :d]
     return (flow, out[1]) if diagnostics else flow
+
+
+def compute_flow_checkpointed(i0, i1, params: FlowParams = FlowParams(),
+                              checkpoint_dir: str | None = None):
+    """compute_flow with per-level checkpoint/resume (SURVEY.md §7
+    "Checkpoint / resume"): the accumulated flow — the only live state — is
+    saved at every pyramid-level boundary, and an interrupted run re-enters
+    the level loop where it stopped. Levels execute as separate jit steps
+    (host sync between levels) instead of one fused jit, which is the cost
+    of resumability."""
+    from tpuflow3d import checkpoint as ckpt
+
+    p = params
+    ctx = HaloCtx()
+    i0 = jnp.asarray(i0)
+    i1 = jnp.asarray(i1)
+    d = i0.shape[-3]
+    zm = p.z_multiple
+    d_pad = zm * ((d + zm - 1) // zm)
+    if d_pad != d:
+        i0 = jnp.concatenate([i0, jnp.repeat(i0[-1:], d_pad - d, 0)], 0)
+        i1 = jnp.concatenate([i1, jnp.repeat(i1[-1:], d_pad - d, 0)], 0)
+
+    shapes = p.level_shapes(tuple(i0.shape))
+    prep = jax.jit(lambda a, b: prepare_pyramids(a, b, p, ctx)[:2])
+    pyr0, pyr1 = prep(i0, i1)
+    n_levels = len(shapes)
+    dtype = jnp.dtype(p.dtype)
+
+    start = n_levels - 1
+    flow = jnp.zeros((3, *shapes[-1]), dtype)
+    if checkpoint_dir is not None:
+        state = ckpt.load_level_checkpoint(checkpoint_dir)
+        if state is not None:
+            flow_np, level = state
+            if 0 <= level < n_levels and flow_np.shape[1:] == shapes[level]:
+                flow = jnp.asarray(flow_np)
+                start = level
+
+    def level_fn(li):
+        def fn(i0l, i1l, fl):
+            fl, _ = solve_level(i0l, i1l, fl, p, ctx)
+            if li > 0:
+                from tpuflow3d.pyramid import upsample_flow
+                fl = upsample_flow(fl, shapes[li - 1], ctx)
+                if p.flow_clamp > 0.0:
+                    fl = jnp.clip(fl, -p.flow_clamp, p.flow_clamp)
+            return fl
+
+        return jax.jit(fn)
+
+    for li in range(start, -1, -1):
+        flow = level_fn(li)(pyr0[li], pyr1[li], flow)
+        if checkpoint_dir is not None and li > 0:
+            flow.block_until_ready()
+            # Saved state is "ready to solve level li-1".
+            ckpt.save_level_checkpoint(checkpoint_dir, flow, li - 1, p)
+    return flow[:, :d]
 
 
 def compute_flow(i0, i1, params: FlowParams = FlowParams(),

@@ -99,3 +99,26 @@ def test_ops_registry():
                  "median", "add", "derivatives"]:
         assert name in OPS
         assert OPS[name].reference
+
+
+def test_checkpointed_pipeline_resume(tmp_path):
+    import jax.numpy as jnp
+
+    from tpuflow3d import FlowParams, compute_flow
+    from tpuflow3d import synthetic as syn
+    from tpuflow3d.pipeline import compute_flow_checkpointed
+
+    shape = (24, 16, 16)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 1.0)))
+    p = FlowParams(levels=3, warps=2, inner_iterations=2, sweeps=5,
+                   alpha=0.05)
+    ref = np.asarray(compute_flow(i0, i1, p))
+    ckdir = str(tmp_path / "ck")
+
+    full = np.asarray(compute_flow_checkpointed(i0, i1, p, ckdir))
+    np.testing.assert_allclose(full, ref, atol=1e-5, rtol=1e-4)
+
+    # The last saved checkpoint is "ready to solve level 0"; resuming
+    # re-runs only the finest level and must agree with the full run.
+    resumed = np.asarray(compute_flow_checkpointed(i0, i1, p, ckdir))
+    np.testing.assert_allclose(resumed, full, atol=1e-6)

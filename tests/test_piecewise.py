@@ -85,3 +85,15 @@ def test_streamed_nondivisible_z():
     assert got.shape == (3, *shape)
     d = np.abs(got - ref)
     assert d.max() < 5e-2 and d.mean() < 1e-2, (d.max(), d.mean())
+
+
+def test_piecewise_checkpoint_resume(tmp_path):
+    shape = (16, 16, 16)
+    i0, i1, _ = _pair(shape, seed=9)
+    p = FlowParams(levels=2, warps=1, inner_iterations=1, sweeps=5,
+                   alpha=0.05, flow_clamp=4.0, backend="xla")
+    ck = str(tmp_path / "ck")
+    full = compute_flow_piecewise(i0, i1, p, chunk_z=8, checkpoint_dir=ck)
+    resumed = compute_flow_piecewise(i0, i1, p, chunk_z=8,
+                                     checkpoint_dir=ck)
+    np.testing.assert_allclose(resumed, full, atol=1e-6)
