@@ -1,0 +1,44 @@
+"""Multi-process worker for test_multiprocess.py: one JAX process of a
+2-process CPU 'cluster' (gloo collectives), running the distributed
+end-to-end path: host-local slab load -> Z-sharded solve over the global
+mesh -> host-local slab write. Mirrors a real multi-host pod launch
+(SURVEY.md §5.4 process boundary #0)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    workdir = sys.argv[4]
+
+    from tpuflow3d import distributed as dist
+    from tpuflow3d import volume as vio
+    from tpuflow3d.params import FlowParams
+
+    dist.initialize(f"localhost:{port}", num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+
+    meta = vio.read_sidecar(os.path.join(workdir, "a.raw"))
+    p = FlowParams(levels=2, warps=1, inner_iterations=1, sweeps=5,
+                   alpha=0.05)
+    mesh = dist.global_z_mesh()
+    flow = dist.compute_flow_distributed(
+        os.path.join(workdir, "a.raw"), os.path.join(workdir, "b.raw"),
+        meta, p, mesh, out_prefix=os.path.join(workdir, "mpflow_"))
+    flow.block_until_ready()
+    print(f"[proc {pid}] ok", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
