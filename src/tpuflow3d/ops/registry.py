@@ -82,7 +82,7 @@ _register(OpSpec(
     name="solve",
     fn=_solver.sor_halfsweep,
     z_halo="1 plane per half-sweep (ppermute each sweep)",
-    bytes_per_voxel=64.0,  # du(12) + w(24) + c(12) + g(12) + terms, write 12
+    bytes_per_voxel=56.0,  # du(12)+c(12)+g(12)+psi(8), write 12 (compact)
     reference="CudaOperationSolve3D",
     doc="Red-black SOR half-sweep on the coupled Euler-Lagrange system "
         "(Sherman-Morrison pointwise solve)."))

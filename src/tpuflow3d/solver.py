@@ -36,12 +36,20 @@ from tpuflow3d.params import FlowParams
 
 
 class SolveTerms(NamedTuple):
-    """Per-nonlinear-iteration constants consumed by the sweeps."""
+    """Per-nonlinear-iteration constants consumed by the sweeps.
+
+    The Pallas sweep kernel consumes only (c, g, psi_s, psi_d) — 44 B/voxel
+    — and recomputes the directional weights and Sherman-Morrison factors
+    in VMEM; the XLA path uses the precomputed (w, sw_inv, smt). Unused
+    outputs are dead-code-eliminated inside the level jit, so each backend
+    only materializes what it reads."""
     c: jax.Array        # (3, D, H, W) constant RHS part
     g: jax.Array        # (3, D, H, W) spatial gradient
     w: jax.Array        # (6, D, H, W) neighbor weights: z+, z-, y+, y-, x+, x-
     sw_inv: jax.Array   # (D, H, W) 1 / sum_q w_pq
     smt: jax.Array      # (D, H, W) psi_d / (sw * (sw + psi_d*|g|^2))
+    psi_s: jax.Array = None  # (D, H, W) smoothness penalizer derivative
+    psi_d: jax.Array = None  # (D, H, W) data penalizer derivative
 
 
 def _psi_deriv(q2: jax.Array, penalizer: str, eps: float) -> jax.Array:
@@ -133,7 +141,8 @@ def compute_terms(g: jax.Array, it: jax.Array, flow: jax.Array,
     sw_inv = 1.0 / sw
     q = psi_d * jnp.sum(g * g, axis=0)
     smt = psi_d * sw_inv / (sw + q)
-    return SolveTerms(c=c, g=g, w=w, sw_inv=sw_inv, smt=smt)
+    return SolveTerms(c=c, g=g, w=w, sw_inv=sw_inv, smt=smt,
+                      psi_s=psi_s, psi_d=psi_d)
 
 
 def _du_star(du: jax.Array, t: SolveTerms, ctx: HaloCtx) -> jax.Array:
@@ -175,15 +184,17 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
         from tpuflow3d.pallas.sor import sor_halfsweep_pallas
         interp = pallas_interpret()
         z0 = ctx.z0(it.shape[-3])
+        dg = ctx.d_global(it.shape[-3])
 
-    def one_sweep(du, t):
+    def one_sweep(du, t, ps_halos):
         if pallas_sweeps:
             du1 = du
             for color in (0, 1):
                 lo, hi = ctx.z_halo_planes(du1)
-                du1 = sor_halfsweep_pallas(du1, t.c, t.g, t.w, t.sw_inv,
-                                           t.smt, lo, hi, z0, p.omega,
-                                           color, interpret=interp)
+                du1 = sor_halfsweep_pallas(du1, t.c, t.g, t.psi_s, t.psi_d,
+                                           lo, hi, ps_halos[0], ps_halos[1],
+                                           z0, p.alpha, p.omega, color, dg,
+                                           interpret=interp)
             return du1
         if p.solver == "sor":
             du1 = sor_halfsweep(du, t, p.omega, parity, 0, ctx)
@@ -195,10 +206,12 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
     def inner_body(k, carry):
         du, res = carry
         t = compute_terms(g, it, flow, du, p, ctx)
+        # psi_s halos are fixed within an inner iteration: exchange once.
+        ps_halos = ctx.z_halo_planes(t.psi_s) if pallas_sweeps else None
 
         def sweep_body(s, carry2):
             du, res = carry2
-            du1 = one_sweep(du, t)
+            du1 = one_sweep(du, t, ps_halos)
             if track:
                 r = ctx.psum(jnp.sum(jnp.abs(du1 - du))) / n_global
                 res = res.at[k * p.sweeps + s].set(r)

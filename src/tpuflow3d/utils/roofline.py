@@ -36,10 +36,12 @@ def device_hbm_bw() -> float:
 @dataclass(frozen=True)
 class SweepByteModel:
     """f32 bytes/voxel for one FULL red-black sweep (two half-sweeps) in the
-    current XLA formulation: each half-sweep reads du (12 B streaming; the
-    6-neighbor reuse is on-chip), directional weights w (24 B), constant RHS
-    c (12 B), gradient g (12 B), sw_inv+smt (8 B) and writes du (12 B)."""
-    per_half_sweep: float = 12 + 24 + 12 + 12 + 8 + 12
+    compact-terms Pallas formulation (pallas/sor.py): each half-sweep reads
+    du (12 B streaming; the 6-neighbor reuse is on-chip), constant RHS c
+    (12 B), gradient g (12 B), psi_s + psi_d (8 B) and writes du (12 B);
+    directional weights and Sherman-Morrison factors are recomputed in VMEM.
+    (The XLA fallback streams precomputed weights instead: 80 B/half.)"""
+    per_half_sweep: float = 12 + 12 + 12 + 8 + 12
 
     @property
     def per_sweep(self) -> float:

@@ -1,6 +1,7 @@
 """Pallas-vs-pure-JAX bit-tolerance tests for the SOR kernel (SURVEY.md §6
 tier 2). Runs the kernel in interpreter mode on CPU; the same code compiles
-for TPU."""
+for TPU. The kernel consumes compact terms (c, g, psi_s, psi_d) and
+recomputes weights in VMEM; the oracle uses the full precomputed terms."""
 
 import jax
 import jax.numpy as jnp
@@ -14,8 +15,10 @@ from tpuflow3d.pallas.sor import sor_halfsweep_pallas
 from tpuflow3d.solver import compute_terms, parity_mask, sor_halfsweep
 from tpuflow3d.warp import warp_volume
 
+ALPHA = 0.05
 
-def _terms(shape=(12, 10, 14), seed=0, alpha=0.05):
+
+def _terms(shape=(12, 10, 14), seed=0, alpha=ALPHA):
     rng = np.random.default_rng(seed)
     i0 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
     shift = jnp.zeros((3, *shape), jnp.float32).at[2].set(0.7)
@@ -28,6 +31,15 @@ def _terms(shape=(12, 10, 14), seed=0, alpha=0.05):
     return du, t
 
 
+def _pallas_half(du, t, omega, color, ctx=HaloCtx()):
+    lo, hi = ctx.z_halo_planes(du)
+    plo, phi = ctx.z_halo_planes(t.psi_s)
+    d = du.shape[1]
+    return sor_halfsweep_pallas(du, t.c, t.g, t.psi_s, t.psi_d, lo, hi,
+                                plo, phi, ctx.z0(d), ALPHA, omega, color,
+                                ctx.d_global(d), interpret=True)
+
+
 @pytest.mark.parametrize("color", [0, 1])
 @pytest.mark.parametrize("shape", [(12, 10, 14), (8, 16, 16), (7, 9, 11)])
 def test_halfsweep_matches_xla(shape, color):
@@ -36,25 +48,9 @@ def test_halfsweep_matches_xla(shape, color):
     ctx = HaloCtx()
     parity = parity_mask(du.shape[1:], ctx)
     ref = sor_halfsweep(du, t, omega, parity, color, ctx)
-
-    lo, hi = ctx.z_halo_planes(du)
-    got = sor_halfsweep_pallas(du, t.c, t.g, t.w, 1.0 / jnp.sum(t.w, axis=0),
-                               t.smt, lo, hi, 0, omega, color,
-                               interpret=True)
+    got = _pallas_half(du, t, omega, color)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
                                rtol=1e-5)
-
-
-def test_halfsweep_with_z_offset_parity():
-    """With an odd global z offset the color assignment flips."""
-    du, t = _terms((8, 8, 8))
-    ctx = HaloCtx()
-    lo, hi = ctx.z_halo_planes(du)
-    a = sor_halfsweep_pallas(du, t.c, t.g, t.w, 1.0 / jnp.sum(t.w, axis=0),
-                             t.smt, lo, hi, 0, 1.5, 0, interpret=True)
-    b = sor_halfsweep_pallas(du, t.c, t.g, t.w, 1.0 / jnp.sum(t.w, axis=0),
-                             t.smt, lo, hi, 1, 1.5, 1, interpret=True)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_full_sweep_sequence_matches():
@@ -66,12 +62,9 @@ def test_full_sweep_sequence_matches():
     ref = sor_halfsweep(du, t, omega, parity, 0, ctx)
     ref = sor_halfsweep(ref, t, omega, parity, 1, ctx)
 
-    sw_inv = 1.0 / jnp.sum(t.w, axis=0)
     got = du
     for color in (0, 1):
-        lo, hi = ctx.z_halo_planes(got)
-        got = sor_halfsweep_pallas(got, t.c, t.g, t.w, sw_inv, t.smt,
-                                   lo, hi, 0, omega, color, interpret=True)
+        got = _pallas_half(got, t, omega, color)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
                                rtol=1e-5)
 
