@@ -21,6 +21,76 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "src"))
 import numpy as np
 
 
+def _kernel_fractions(shape, p):
+    """Per-kernel HBM-roofline fractions (BASELINE.md): SOR half-sweep and
+    fused warp+derivatives, measured standalone. Reported to stderr."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuflow3d.derivatives import derivatives
+    from tpuflow3d.grid import HaloCtx
+    from tpuflow3d.pallas.sor import sor_halfsweep_pallas
+    from tpuflow3d.pallas.warp_grad import warp_grad_pallas
+    from tpuflow3d.solver import compute_terms
+    from tpuflow3d.utils import roofline
+
+    rng = np.random.default_rng(0)
+    i0 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    i1 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    flow = jnp.zeros((3, *shape), jnp.float32)
+    du = jnp.asarray(rng.normal(size=(3, *shape)).astype(np.float32)) * .05
+
+    @jax.jit
+    def make_terms(i0, i1, flow, du):
+        g, it = derivatives(i0, i1)
+        return compute_terms(g, it, flow, du, p)
+
+    t = make_terms(i0, i1, flow, du)
+    jax.block_until_ready(t)
+    ctx = HaloCtx()
+    lo, hi = ctx.z_halo_planes(du)
+    plo, phi = ctx.z_halo_planes(t.psi_s)
+    d = shape[0]
+    vox = float(np.prod(shape))
+    bw = roofline.device_hbm_bw()
+
+    def half(duv):
+        return sor_halfsweep_pallas(duv, t.c, t.g, t.psi_s, t.psi_d, lo, hi,
+                                    plo, phi, 0, p.alpha, p.omega, 0, d)
+
+    o = half(du)
+    o.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        o = half(o)
+    o.block_until_ready()
+    dt = (time.perf_counter() - t0) / 10
+    bytes_model = roofline.SweepByteModel().per_half_sweep
+    frac = (vox * bytes_model / dt) / bw
+    print(f"bench: SOR half-sweep {dt * 1e3:.2f} ms, "
+          f"{vox / dt / 1e9:.2f} Gvox/s, HBM fraction {frac:.3f}",
+          file=sys.stderr, flush=True)
+
+    clamp = 2.0
+    fl = jnp.clip(du * 40, -clamp, clamp)
+
+    def wg():
+        return warp_grad_pallas(i1, fl, i0, ctx, max_disp=clamp)
+
+    o = wg()
+    jax.block_until_ready(o)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        o = wg()
+    jax.block_until_ready(o)
+    dt = (time.perf_counter() - t0) / 5
+    # warp+deriv reads i1 slab + flow(12) + i0(4), writes g(12)+it(4)
+    frac = (vox * (4 + 12 + 4 + 16) / dt) / bw
+    print(f"bench: warp+deriv {dt * 1e3:.2f} ms, "
+          f"{vox / dt / 1e9:.2f} Gvox/s, HBM fraction {frac:.3f}",
+          file=sys.stderr, flush=True)
+
+
 def main() -> int:
     import jax
 
@@ -65,6 +135,9 @@ def main() -> int:
 
     mask = syn.gradient_mask(i0, 0.75) & syn.interior_mask(shape, 4)
     err = syn.epe(np.asarray(flow), true, mask)
+
+    if os.environ.get("TPUFLOW_BENCH_KERNELS") == "1":
+        _kernel_fractions(shape, p)
 
     shapes = p.level_shapes(shape)
     bound = roofline.end_to_end_roofline(shapes, p)

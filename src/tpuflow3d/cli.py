@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--residuals", action="store_true",
                     help="log per-sweep residual curves")
     ap.add_argument("--log-json", default=None, help="JSONL log file path")
+    ap.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler trace to this directory")
+    ap.add_argument("--traceback", action="store_true",
+                    help="show full tracebacks instead of one-line errors")
     return ap
 
 
@@ -108,6 +112,16 @@ def _load(path: str, dims, dtype) -> np.ndarray:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    try:
+        return _run(args)
+    except (ValueError, OSError) as e:
+        if args.traceback:
+            raise
+        print(f"tpuflow3d: error: {e}", file=sys.stderr)
+        return 2
+
+
+def _run(args) -> int:
     log = JsonlLogger(path=args.log_json)
     params = params_from_args(args)
     log.log("start", params=params, frame0=args.frame0, frame1=args.frame1)
@@ -119,8 +133,14 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
 
+    import contextlib
+
+    from tpuflow3d.utils.profiling import xla_trace
+
     t0 = time.perf_counter()
     diagnostics = params.track_residuals
+    stack = contextlib.ExitStack()
+    stack.enter_context(xla_trace(args.profile_dir))
     if args.piecewise:
         from tpuflow3d.piecewise import compute_flow_piecewise
         flow = compute_flow_piecewise(i0, i1, params, chunk_z=args.chunk_z,
@@ -149,6 +169,7 @@ def main(argv=None) -> int:
         flow = out[0] if diagnostics else out
         diag = out[1] if diagnostics else {}
     flow = np.asarray(flow)
+    stack.close()
     dt = time.perf_counter() - t0
 
     voxels = float(np.prod(i0.shape))

@@ -95,6 +95,23 @@ _register(OpSpec(
     reference="CudaOperationMedian3D",
     doc="3x3x3 median filter on flow increments."))
 
+def _statistics(x):
+    """Global volume statistics (min/max/mean/L2), psum-able per shard."""
+    import jax.numpy as jnp
+    return {"min": jnp.min(x), "max": jnp.max(x), "mean": jnp.mean(x),
+            "l2": jnp.sqrt(jnp.sum(x * x))}
+
+
+_register(OpSpec(
+    name="statistics",
+    fn=_statistics,
+    z_halo="none",
+    bytes_per_voxel=4.0,
+    reference="stat/min-max helper ops (intensity normalization, "
+              "diagnostics)",
+    doc="Global min/max/mean/norm reductions (normalization prescan uses "
+        "the native flowio fast path host-side, lax.pmin/pmax sharded)."))
+
 _register(OpSpec(
     name="add",
     fn=lambda flow, du: flow + du,

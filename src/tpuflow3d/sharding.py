@@ -28,6 +28,12 @@ from tpuflow3d.params import FlowParams
 from tpuflow3d.pipeline import compute_flow_impl
 
 Z_AXIS_NAME = "z"
+
+# Sharded runs need a static displacement bound: it sizes the warp's Z halo
+# (ceil(clamp)+1 planes, like the reference's piecewise warp margin). The
+# clamp caps the maximum recoverable motion at the finest level, so raise
+# FlowParams.flow_clamp for large motions — halo exchange cost grows with
+# it linearly, accuracy does not degrade otherwise.
 DEFAULT_FLOW_CLAMP = 4.0
 
 

@@ -122,3 +122,26 @@ def test_checkpointed_pipeline_resume(tmp_path):
     # re-runs only the finest level and must agree with the full run.
     resumed = np.asarray(compute_flow_checkpointed(i0, i1, p, ckdir))
     np.testing.assert_allclose(resumed, full, atol=1e-6)
+
+
+def test_cli_uint16_and_friendly_errors(tmp_path):
+    from tpuflow3d import cli
+    from tpuflow3d import synthetic as syn
+
+    i0, i1, _ = syn.make_pair((16, 16, 16), syn.translation((0.0, 0.0, 1.0)))
+    # store as uint16 (tomography-style) — exercises the native widening
+    scale = 60000.0 / max(i0.max(), i1.max())
+    f0, f1 = str(tmp_path / "a.raw"), str(tmp_path / "b.raw")
+    vio.write_raw(f0, np.clip(i0 * scale, 0, 65535).astype(np.uint16))
+    vio.write_raw(f1, np.clip(i1 * scale, 0, 65535).astype(np.uint16))
+    out = str(tmp_path / "flow_")
+    rc = cli.main(["--frame0", f0, "--frame1", f1, "--out", out,
+                   "--levels", "2", "--warps", "2", "--sweeps", "10"])
+    assert rc == 0
+    u = vio.read_raw(out + "u.raw")
+    assert abs(np.median(u[4:12, 4:12, 4:12]) - 1.0) < 0.35
+
+    # friendly one-line error, not a traceback
+    rc = cli.main(["--frame0", str(tmp_path / "missing.raw"),
+                   "--frame1", f1, "--out", out])
+    assert rc == 2

@@ -79,3 +79,12 @@ def test_diagnostics_residuals():
     res = np.asarray(diag["residuals"])
     assert res.shape == (2, p.warps, p.inner_iterations * p.sweeps)
     assert (res > 0).all()
+
+
+def test_large_translation_unclamped():
+    """Motions far beyond one voxel are recovered through the pyramid when
+    no clamp is set (the sharded path clamps; see sharding.py)."""
+    shape = (64, 64, 64)
+    err, est, true = _run(shape, syn.translation((0.0, 0.0, 6.0)),
+                          P64.replace(levels=4))
+    assert err < 0.1, err
