@@ -48,7 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
                       ("inner_iterations", int), ("sweeps", int),
                       ("omega", float), ("presmooth_sigma", float),
                       ("eps_data", float), ("eps_smooth", float),
-                      ("flow_clamp", float)]:
+                      ("flow_clamp", float),
+                      ("residual_tol", float)]:
         ap.add_argument(f"--{name.replace('_', '-')}", type=typ, default=None,
                         dest=name)
     ap.add_argument("--penalizer-data", choices=["charbonnier", "quadratic"],
@@ -86,7 +87,8 @@ def params_from_args(args) -> FlowParams:
             overrides.update(json.load(f))
     for name in ["alpha", "levels", "scale_factor", "warps",
                  "inner_iterations", "sweeps", "omega", "presmooth_sigma",
-                 "eps_data", "eps_smooth", "flow_clamp", "penalizer_data",
+                 "eps_data", "eps_smooth", "flow_clamp", "residual_tol",
+                 "penalizer_data",
                  "penalizer_smooth", "solver"]:
         v = getattr(args, name, None)
         if v is not None:

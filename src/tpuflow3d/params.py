@@ -46,9 +46,12 @@ class FlowParams:
     # --- iteration counts ---
     warps: int = 3              # outer (warping) iterations per level
     inner_iterations: int = 3   # nonlinearity (psi-weight) updates per warp
-    sweeps: int = 20            # solver sweeps per inner iteration
+    sweeps: int = 20            # solver sweeps per inner iteration (cap)
     solver: Solver = "sor"      # red-black SOR or (damped) Jacobi
     omega: float = 1.9          # SOR relaxation; Jacobi uses min(omega, 1.0)
+    residual_tol: float = 0.0   # stop sweeping early once the mean update
+                                # norm (psum across shards) falls below this
+                                # (0 = always run all sweeps)
 
     # --- post-processing ---
     median: bool = True         # 3x3x3 median filter on flow increments

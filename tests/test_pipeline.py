@@ -88,3 +88,17 @@ def test_large_translation_unclamped():
     err, est, true = _run(shape, syn.translation((0.0, 0.0, 6.0)),
                           P64.replace(levels=4))
     assert err < 0.1, err
+
+
+def test_residual_tol_early_stop():
+    """With a loose tolerance the solver stops sweeping early but still
+    recovers the flow; with a tiny tolerance it matches the full-sweep
+    result."""
+    shape = (32, 32, 32)
+    fn = syn.translation((1.0, 0.0, -0.5))
+    p = P64.replace(levels=2)
+    ref_err, ref, _ = _run(shape, fn, p)
+    tight_err, tight, _ = _run(shape, fn, p.replace(residual_tol=1e-12))
+    np.testing.assert_allclose(tight, ref, atol=1e-6)
+    loose_err, _, _ = _run(shape, fn, p.replace(residual_tol=1e-4))
+    assert loose_err < max(2 * ref_err, 0.1), (loose_err, ref_err)

@@ -78,3 +78,18 @@ def test_sharded_matches_unsharded_64():
     ref = np.asarray(compute_flow(i0, i1, p_sharded))
     got = np.asarray(compute_flow_sharded(i0, i1, p, mesh=_mesh(n)))
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_sharded_early_stop_matches_unsharded():
+    """residual_tol early stopping under shard_map: the psum'ed residual is
+    replicated, so all shards stop at the same sweep."""
+    shape = (32, 16, 16)
+    n = 4
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 0.5)),
+                              seed=4)
+    p = FlowParams(levels=2, warps=2, inner_iterations=2, sweeps=10,
+                   alpha=0.05, residual_tol=1e-5)
+    p_sharded = prepare_params(p, n)
+    ref = np.asarray(compute_flow(i0, i1, p_sharded))
+    got = np.asarray(compute_flow_sharded(i0, i1, p, mesh=_mesh(n)))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
