@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="save/resume the flow at pyramid-level boundaries")
     ap.add_argument("--residuals", action="store_true",
                     help="log per-sweep residual curves")
+    ap.add_argument("--report-fit", action="store_true",
+                    help="log the data-term fit |I1(x+s) - I0| after the "
+                         "solve (registration quality diagnostic)")
     ap.add_argument("--log-json", default=None, help="JSONL log file path")
     ap.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace to this directory")
@@ -179,6 +182,22 @@ def _run(args) -> int:
     if diagnostics and "residuals" in diag:
         log.log("residuals",
                 summary=summarize_residuals(np.asarray(diag["residuals"])))
+
+    if args.report_fit:
+        import jax
+        import jax.numpy as jnp
+
+        from tpuflow3d.warp import warp_volume
+
+        @jax.jit
+        def fit(i0a, i1a, fl):
+            r = jnp.abs(warp_volume(i1a, fl) - i0a)
+            return jnp.mean(r), jnp.max(r), jnp.mean(jnp.abs(i1a - i0a))
+
+        mean_r, max_r, before = fit(jnp.asarray(i0), jnp.asarray(i1),
+                                    jnp.asarray(flow))
+        log.log("fit", mean_residual=float(mean_r), max_residual=float(max_r),
+                mean_abs_diff_unwarped=float(before))
 
     vio.write_flow(args.out, flow, magnitude=not args.no_magnitude)
     log.log("written", prefix=args.out)

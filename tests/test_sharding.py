@@ -93,3 +93,19 @@ def test_sharded_early_stop_matches_unsharded():
     ref = np.asarray(compute_flow(i0, i1, p_sharded))
     got = np.asarray(compute_flow_sharded(i0, i1, p, mesh=_mesh(n)))
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_sharded_nondyadic_eta_matches_unsharded():
+    """Non-dyadic pyramid factor (eta=0.7): resampling across shard
+    boundaries makes output planes depend on neighbor-shard input planes —
+    the 'fiddly part' flagged in SURVEY.md §9 Stage 3."""
+    shape = (48, 16, 16)
+    n = 4
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.8, 0.0, 0.6)),
+                              seed=6)
+    p = FlowParams(levels=3, scale_factor=0.7, warps=1, inner_iterations=1,
+                   sweeps=5, alpha=0.05)
+    p_sharded = prepare_params(p, n)
+    ref = np.asarray(compute_flow(i0, i1, p_sharded))
+    got = np.asarray(compute_flow_sharded(i0, i1, p, mesh=_mesh(n)))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
