@@ -109,6 +109,8 @@ def main() -> int:
                    inner_iterations=3, sweeps=sweeps, alpha=0.05)
 
     shape = (size, size, size)
+    if size >= 256:
+        syn.set_coord_dtype(np.float32)  # several-x faster generation
     print(f"bench: generating {shape} pair...", file=sys.stderr, flush=True)
     i0, i1, true = syn.make_pair(shape, syn.translation((1.5, -1.0, 0.75)),
                                  n_blobs=30, seed=0)

@@ -37,7 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpuflow3d.grid import HaloCtx, pad_yx, replicate_pad
 
-PALLAS_WARP_MAX_CLAMP = 3.0
+# Measured crossover vs the XLA gather path: the (2*ceil(c)+2)^3 term count
+# makes the select-interpolate win decisively at ceil(clamp) <= 2 (216
+# terms, 4.4x faster) and lose beyond it (512+ terms), so dispatch caps at
+# clamp 2.
+PALLAS_WARP_MAX_CLAMP = 2.0
 
 
 def _pick_by(h: int) -> int:
