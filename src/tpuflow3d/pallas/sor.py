@@ -46,9 +46,11 @@ def _pick_block(d: int, h: int, w: int) -> tuple[int, int]:
     """(BZ, BY): BZ divides D (shard/global faces at block boundaries);
     BY a multiple of 8 (Mosaic sublane tiling). Sized so a grid step's live
     tiles stay ~2-3 MB (leaving VMEM room for double buffering)."""
+    # 16-row granularity: bf16 terms tiles need a multiple-of-16 sublane
+    # extent (f32 needs 8).
     target_vox = (2 * 1024 * 1024) // (22 * 4)
-    by = min(h, max(8, ((target_vox // (4 * w)) // 8) * 8))
-    if h % 8 != 0 and by >= h:
+    by = min(h, max(16, ((target_vox // (4 * w)) // 16) * 16))
+    if h % 16 != 0 and by >= h:
         by = h
     bz_target = max(1, target_vox // (by * w))
     bz = 1
@@ -83,8 +85,8 @@ def _kernel(z0_ref,
     j = pl.program_id(1)
 
     du = du_ref[:]            # (3, BZ, BY, W)
-    c = c_ref[:]
-    g = g_ref[:]
+    c = c_ref[:].astype(du.dtype)   # terms may be stored bf16
+    g = g_ref[:].astype(du.dtype)
     ps = ps_ref[:]            # (1, BZ, BY, W)
     pd = pd_ref[:]
 

@@ -61,6 +61,11 @@ class FlowParams:
     # --- numerics / execution ---
     normalize: bool = True      # rescale intensities to [0, 1] jointly
     dtype: str = "float32"      # solver dtype (f32; EPE budget excludes bf16)
+    terms_dtype: str = "float32"  # storage dtype for the sweep constants
+                                # (c, g): "bfloat16" cuts sweep HBM traffic
+                                # ~27% at ~1e-3-voxel EPE cost (SURVEY.md
+                                # §10: bf16 as a storage optimization only;
+                                # du and all arithmetic stay f32)
     backend: Backend = "auto"   # 'pallas' on TPU, 'xla' elsewhere when 'auto'
     z_multiple: int = 1         # round every level's Z dim up to a multiple
                                 # (set to the Z-mesh size for sharded runs)

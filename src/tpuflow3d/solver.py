@@ -141,18 +141,27 @@ def compute_terms(g: jax.Array, it: jax.Array, flow: jax.Array,
     sw_inv = 1.0 / sw
     q = psi_d * jnp.sum(g * g, axis=0)
     smt = psi_d * sw_inv / (sw + q)
-    return SolveTerms(c=c, g=g, w=w, sw_inv=sw_inv, smt=smt,
+    if p.terms_dtype != str(dtype):
+        # Storage-only downcast of the sweep constants (SURVEY.md §10:
+        # bf16 never enters the solver arithmetic — consumers upcast).
+        td = jnp.dtype(p.terms_dtype)
+        c = c.astype(td)
+        g_store = g.astype(td)
+    else:
+        g_store = g
+    return SolveTerms(c=c, g=g_store, w=w, sw_inv=sw_inv, smt=smt,
                       psi_s=psi_s, psi_d=psi_d)
 
 
 def _du_star(du: jax.Array, t: SolveTerms, ctx: HaloCtx) -> jax.Array:
     """Exact pointwise solution A^-1 b given current neighbor values of du."""
     du_nb = _neighbors6(du, ctx)  # Z halo exchanged here, every call
-    b = t.c
+    b = t.c.astype(du.dtype)  # terms may be stored bf16; compute in f32
+    g = t.g.astype(du.dtype)
     for wd, dnb in zip(t.w, du_nb):
         b = b + wd[None] * dnb
-    gb = jnp.einsum("cdhw,cdhw->dhw", t.g, b)
-    return b * t.sw_inv[None] - t.g * (gb * t.smt)[None]
+    gb = jnp.einsum("cdhw,cdhw->dhw", g, b)
+    return b * t.sw_inv[None] - g * (gb * t.smt)[None]
 
 
 def sor_halfsweep(du: jax.Array, t: SolveTerms, omega: float,

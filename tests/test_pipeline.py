@@ -102,3 +102,15 @@ def test_residual_tol_early_stop():
     np.testing.assert_allclose(tight, ref, atol=1e-6)
     loose_err, _, _ = _run(shape, fn, p.replace(residual_tol=1e-4))
     assert loose_err < max(2 * ref_err, 0.1), (loose_err, ref_err)
+
+
+def test_bf16_terms_storage():
+    """terms_dtype=bfloat16 (storage-only downcast of the sweep constants)
+    stays within ~1e-2 voxels of the f32 run and recovers the flow."""
+    shape = (48, 48, 48)
+    fn = syn.translation((1.0, -0.5, 0.75))
+    p = P64.replace(levels=3)
+    err32, est32, _ = _run(shape, fn, p)
+    err16, est16, _ = _run(shape, fn, p.replace(terms_dtype="bfloat16"))
+    assert err16 < err32 + 0.02, (err16, err32)
+    assert np.abs(est16 - est32).mean() < 0.02
