@@ -127,6 +127,8 @@ def main() -> int:
 
     times = []
     for _ in range(reps):
+        flow = None  # release the previous output: at 512^3 a retained
+        # 1.5 GB flow plus the program's temps exceeds single-chip HBM
         t0 = time.perf_counter()
         flow = compute_flow(i0, i1, p)
         flow.block_until_ready()
@@ -135,8 +137,39 @@ def main() -> int:
     voxels = float(np.prod(shape))
     vps = voxels / dt
 
-    mask = syn.gradient_mask(i0, 0.75) & syn.interior_mask(shape, 4)
-    err = syn.epe(np.asarray(flow), true, mask)
+    # EPE entirely on-device (the ground truth is a constant translation):
+    # pulling a multi-GB flow field to the host is exactly what the
+    # piecewise/sharded IO paths exist to avoid.
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def epe_device(fl, i0d, shift):
+        gz = jnp.gradient(i0d, axis=0)
+        gy = jnp.gradient(i0d, axis=1)
+        gx = jnp.gradient(i0d, axis=2)
+        mag = jnp.sqrt(gz * gz + gy * gy + gx * gx)
+        # mean-based gradient threshold (a large device sort for a true
+        # quantile faults the emulated chip at 512^3)
+        thr = 1.5 * jnp.mean(mag)
+        b = 4
+        mask = (mag > thr)[b:-b, b:-b, b:-b]
+        err = jnp.sqrt(jnp.sum(
+            (fl - shift.reshape(3, 1, 1, 1)) ** 2, axis=0))[b:-b, b:-b, b:-b]
+        return jnp.sum(jnp.where(mask, err, 0.0)) / jnp.sum(mask)
+
+    try:
+        err = float(epe_device(flow, jnp.asarray(i0),
+                               jnp.asarray([1.5, -1.0, 0.75], jnp.float32)))
+    except Exception as e:  # emulator flakiness after very large programs
+        print(f"bench: on-device EPE failed ({type(e).__name__}); "
+              "falling back to a central-slab host EPE", file=sys.stderr,
+              flush=True)
+        zc = shape[0] // 2
+        slab = np.asarray(flow[:, zc - 2:zc + 2])  # small D2H
+        mask = (syn.gradient_mask(i0[zc - 2:zc + 2], 0.75)
+                & syn.interior_mask(slab.shape[1:], 2))
+        err = syn.epe(slab, true[:, zc - 2:zc + 2], mask)
 
     if os.environ.get("TPUFLOW_BENCH_KERNELS") == "1":
         _kernel_fractions(shape, p)

@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from tpuflow3d.derivatives import central_diff
@@ -121,23 +122,48 @@ def compute_terms(g: jax.Array, it: jax.Array, flow: jax.Array,
         s2 = s2 + jnp.sum(dgrad * dgrad, axis=0)
     psi_s = _psi_deriv(s2, p.penalizer_smooth, p.eps_smooth)
 
-    # Directional neighbor weights w_pq = alpha*(psi_s[p]+psi_s[q])/2,
-    # masked to zero across global faces.
-    psi_nb = _neighbors6(psi_s, ctx)
+    # Directional neighbor weights w_pq = alpha*(psi_s[p]+psi_s[q])/2
+    # (masked to zero across global faces) and the constant RHS
+    # -psi_d*g*It + sum_q w_pq*(u[q]-u[p]) (smoothness acts on the *total*
+    # flow u+du; the du[q] part is added fresh each sweep). Accumulated one
+    # direction at a time so only ONE neighbor volume is ever live —
+    # materializing all six at once is what blew HBM at 512^3.
     masks = _face_masks(shape, ctx, dtype)
     alpha = jnp.asarray(p.alpha, dtype)
-    w = jnp.stack([alpha * 0.5 * (psi_s + nb) * m
-                   for nb, m in zip(psi_nb, masks)])
-
-    # Constant RHS: -psi_d*g*It + sum_q w_pq*(u[q]-u[p])  (smoothness acts on
-    # the *total* flow u+du; the du[q] part is added fresh each sweep).
-    u_nb = _neighbors6(flow, ctx)  # (6 of (3,D,H,W))
+    sw = jnp.zeros(shape, dtype)
     nbu = jnp.zeros_like(flow)
-    for wd, unb in zip(w, u_nb):
-        nbu = nbu + wd[None] * (unb - flow)
-    c = -(psi_d * it)[None] * g + nbu
+    w_dirs = []
+    # At large volumes, compute each direction's neighbor volume inside a
+    # barriered step (threading the sources through the barrier so XLA
+    # cannot hoist all six 12 B/voxel neighbor temps to the front and keep
+    # them live simultaneously — that is what blew HBM at 512^3). Trades
+    # ~6 extra nbu passes per nonlinear iteration for ~9 GB of peak memory
+    # at 512^3; sweeps dominate runtime, memory bounds the max volume.
+    sequentialize = int(np.prod(shape)) * 4 > 256 * 1024 * 1024
+    flow_zp = ctx.zpad(flow, 1)
+    psi_zp = ctx.zpad(psi_s, 1)
 
-    sw = jnp.sum(w, axis=0)
+    def nb_pair(src, src_zp, axis, delta):
+        if axis == Z_AXIS:
+            return neighbor_slices(src_zp, 1, Z_AXIS, delta)
+        xp = replicate_pad(src, 1, axis)
+        return neighbor_slices(xp, 1, axis, delta)
+
+    for i, (axis, delta) in enumerate([(Z_AXIS, +1), (Z_AXIS, -1),
+                                       (-2, +1), (-2, -1),
+                                       (-1, +1), (-1, -1)]):
+        pnb = nb_pair(psi_s, psi_zp, axis, delta)
+        unb = nb_pair(flow, flow_zp, axis, delta)
+        wd = alpha * 0.5 * (psi_s + pnb) * masks[i]
+        sw = sw + wd
+        nbu = nbu + wd[None] * (unb - flow)
+        w_dirs.append(wd)
+        if sequentialize:
+            sw, nbu, flow, flow_zp, psi_s, psi_zp = lax.optimization_barrier(
+                (sw, nbu, flow, flow_zp, psi_s, psi_zp))
+    # Stacked weights feed only the XLA sweep path (DCE'd under Pallas).
+    w = jnp.stack(w_dirs)
+    c = -(psi_d * it)[None] * g + nbu
     sw_inv = 1.0 / sw
     q = psi_d * jnp.sum(g * g, axis=0)
     smt = psi_d * sw_inv / (sw + q)
