@@ -44,8 +44,11 @@ from tpuflow3d.grid import HaloCtx, pad_yx, replicate_pad
 PALLAS_WARP_MAX_CLAMP = 2.0
 
 
-def _pick_by(h: int) -> int:
-    cands = [b for b in range(8, h + 1, 8) if h % b == 0 and b <= 32]
+def _pick_by(h: int, w: int) -> int:
+    # ~40 extended-block temps live in the unrolled gather body: cap the
+    # y-block so they fit scoped VMEM at any width.
+    cap = 32 if w <= 256 else (16 if w <= 768 else 8)
+    cands = [b for b in range(8, h + 1, 8) if h % b == 0 and b <= cap]
     return max(cands) if cands else h
 
 
@@ -230,7 +233,7 @@ def warp_grad_pallas(i1, flow, i0, ctx: HaloCtx = HaloCtx(),
     mc = max(1, int(math.ceil(max_disp)))
     p = mc + 2
     bz = _pick_bz(d)
-    by = _pick_by(h)
+    by = _pick_by(h, w)
     nyb = h // by
     sy1 = _round_up(by + 2 * p, 8)
     sys_ = _round_up(by + 2, 8)
