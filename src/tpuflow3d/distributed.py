@@ -15,7 +15,6 @@ transport-specific.
 
 from __future__ import annotations
 
-import math
 import os
 
 import jax

@@ -20,7 +20,6 @@ axis -3 so volumes and flow fields share all helpers.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional
 
 import jax

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from tpuflow3d.grid import HaloCtx, Z_AXIS, neighbor_slices, replicate_pad
+from tpuflow3d.grid import HaloCtx, replicate_pad
 
 
 def median3_op(x: jax.Array, ctx: HaloCtx, p) -> jax.Array:

@@ -12,8 +12,8 @@ strings; the registry references the same functions the pipeline calls.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, Optional
+from dataclasses import dataclass
+from typing import Callable
 
 from tpuflow3d import derivatives as _derivatives
 from tpuflow3d import median as _median

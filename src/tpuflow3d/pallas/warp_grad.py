@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuflow3d.grid import HaloCtx, pad_yx, replicate_pad
+from tpuflow3d.grid import HaloCtx
 
 # Measured crossover vs the XLA gather path: the (2*ceil(c)+2)^3 term count
 # makes the select-interpolate win decisively at ceil(clamp) <= 2 (216

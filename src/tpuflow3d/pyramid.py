@@ -20,7 +20,6 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from tpuflow3d.grid import HaloCtx, Z_AXIS, neighbor_slices, replicate_pad
 from tpuflow3d.params import FlowParams

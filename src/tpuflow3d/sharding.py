@@ -16,7 +16,6 @@ structural (SURVEY.md §6 tier 4 gate).
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

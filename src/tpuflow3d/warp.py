@@ -18,7 +18,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from tpuflow3d.grid import HaloCtx, Z_AXIS
+from tpuflow3d.grid import HaloCtx
 
 
 def warp_halo(max_disp: float) -> int:
