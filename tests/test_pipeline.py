@@ -114,3 +114,24 @@ def test_bf16_terms_storage():
     err16, est16, _ = _run(shape, fn, p.replace(terms_dtype="bfloat16"))
     assert err16 < err32 + 0.02, (err16, err32)
     assert np.abs(est16 - est32).mean() < 0.02
+
+
+def test_quadratic_penalizers_end_to_end():
+    """Pure Horn-Schunck mode (quadratic data + smoothness, SURVEY.md §10
+    penalizer flag) recovers translations too; charbonnier is sharper on
+    the same budget but both must converge."""
+    shape = (48, 48, 48)
+    fn = syn.translation((1.0, 0.0, -0.5))
+    p = P64.replace(penalizer_data="quadratic",
+                    penalizer_smooth="quadratic", alpha=0.02)
+    err, est, true = _run(shape, fn, p)
+    assert err < 0.15, err
+
+
+def test_mixed_penalizers():
+    shape = (32, 32, 32)
+    fn = syn.translation((0.5, 0.5, 0.5))
+    p = P64.replace(levels=2, penalizer_data="charbonnier",
+                    penalizer_smooth="quadratic")
+    err, est, true = _run(shape, fn, p)
+    assert err < 0.15, err
