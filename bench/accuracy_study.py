@@ -1,0 +1,120 @@
+"""256^3 accuracy study (BASELINE.json EPE<=1e-3 gate; VERDICT r1 weak #2).
+
+Runs the full pipeline at 256^3 on an analytic translation across a
+parameter ladder (iterations, alpha, epsilon, derivative order) and
+records textured-voxel EPE per config as JSONL — either closing the gap to
+1e-3 or establishing the converged floor and what sets it. Numerics run
+on-device; EPE is computed on-device (no multi-GB D2H).
+
+Usage: python bench/accuracy_study.py [--size 256] [--out STUDY.jsonl]
+       [--quick]  (quick = 128^3, fewer configs, for smoke testing)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--configs", nargs="*", default=None,
+                    help="subset of config names to run")
+    args = ap.parse_args()
+    size = 128 if args.quick else args.size
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpuflow3d import synthetic as syn
+    from tpuflow3d.params import FlowParams
+    from tpuflow3d.pipeline import compute_flow
+
+    shape = (size, size, size)
+    shift = (1.5, -1.0, 0.75)
+    if size >= 256:
+        syn.set_coord_dtype(np.float32)
+    print(f"study: generating {shape} pair...", file=sys.stderr, flush=True)
+    i0, i1, _ = syn.make_pair(shape, syn.translation(shift), n_blobs=30,
+                              seed=0)
+    i0d = jnp.asarray(i0)
+    i1d = jnp.asarray(i1)
+    sh = jnp.asarray(shift, jnp.float32)
+
+    @jax.jit
+    def epe_device(fl):
+        gz = jnp.gradient(i0d, axis=0)
+        gy = jnp.gradient(i0d, axis=1)
+        gx = jnp.gradient(i0d, axis=2)
+        mag = jnp.sqrt(gz * gz + gy * gy + gx * gx)
+        thr = 1.5 * jnp.mean(mag)
+        b = 4
+        mask = (mag > thr)[b:-b, b:-b, b:-b]
+        err = jnp.sqrt(jnp.sum(
+            (fl - sh.reshape(3, 1, 1, 1)) ** 2, axis=0))[b:-b, b:-b, b:-b]
+        masked = jnp.where(mask, err, 0.0)
+        n = jnp.sum(mask)
+        mean = jnp.sum(masked) / n
+        p95 = 0.0 * mean  # placeholder (true quantile sorts fault at 512^3)
+        return mean, jnp.max(masked), n
+
+    levels = {64: 3, 128: 4}.get(size, 5)
+    base = FlowParams(levels=levels, scale_factor=0.5, warps=3,
+                      inner_iterations=3, sweeps=20, alpha=0.05,
+                      flow_clamp=2.0)
+    configs = [
+        ("baseline_r1", base),
+        ("warps5", base.replace(warps=5)),
+        ("warps8_sweeps30", base.replace(warps=8, sweeps=30)),
+        ("alpha02", base.replace(alpha=0.02)),
+        ("alpha02_warps5", base.replace(alpha=0.02, warps=5)),
+        ("alpha01_warps8", base.replace(alpha=0.01, warps=8)),
+        ("eps_small", base.replace(eps_data=1e-4, eps_smooth=1e-4,
+                                   warps=5)),
+        ("deriv4_warps8", base.replace(deriv_order=4, warps=8)),
+        ("eta07", base.replace(scale_factor=0.7,
+                               levels=int(levels * 1.7), warps=4)),
+        ("restol", base.replace(residual_tol=1e-6, sweeps=60, warps=5)),
+    ]
+    if args.quick:
+        configs = configs[:3]
+    if args.configs:
+        configs = [c for c in configs if c[0] in args.configs]
+
+    out_path = args.out or f"STUDY_{size}.jsonl"
+    with open(out_path, "a") as f:
+        for name, p in configs:
+            t0 = time.perf_counter()
+            try:
+                flow = compute_flow(i0d, i1d, p)
+                mean, mx, n = epe_device(flow)
+                mean, mx, n = float(mean), float(mx), int(n)
+                flow = None
+            except Exception as e:
+                print(f"study: {name} FAILED {type(e).__name__}: {e}",
+                      file=sys.stderr, flush=True)
+                continue
+            row = {"config": name, "size": size, "epe_mean": round(mean, 6),
+                   "epe_max": round(mx, 4), "textured_voxels": n,
+                   "seconds": round(time.perf_counter() - t0, 1),
+                   "params": {k: getattr(p, k) for k in
+                              ("levels", "scale_factor", "warps",
+                               "inner_iterations", "sweeps", "alpha",
+                               "eps_data", "eps_smooth", "deriv_order",
+                               "residual_tol")}}
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+            print(json.dumps(row), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

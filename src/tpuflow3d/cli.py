@@ -30,8 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="tpuflow3d",
         description="TPU-native dense 3D optical flow (variational, "
                     "coarse-to-fine).")
-    ap.add_argument("--frame0", required=True, help="fixed volume (.raw)")
-    ap.add_argument("--frame1", required=True, help="moving volume (.raw)")
+    ap.add_argument("--frame0", help="fixed volume (.raw)")
+    ap.add_argument("--frame1", help="moving volume (.raw)")
+    ap.add_argument("--list-ops", action="store_true",
+                    help="print the device-op catalog (halo rule, HBM byte "
+                         "model, reference counterpart) and exit")
     ap.add_argument("--dims", type=int, nargs=3, metavar=("D", "H", "W"),
                     help="volume dims, z y x order (or use a .json sidecar)")
     ap.add_argument("--dtype", default=None,
@@ -48,7 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
                       ("inner_iterations", int), ("sweeps", int),
                       ("omega", float), ("presmooth_sigma", float),
                       ("eps_data", float), ("eps_smooth", float),
-                      ("flow_clamp", float),
+                      ("flow_clamp", float), ("deriv_order", int),
                       ("residual_tol", float)]:
         ap.add_argument(f"--{name.replace('_', '-')}", type=typ, default=None,
                         dest=name)
@@ -62,6 +65,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Z-shard across all visible devices")
     ap.add_argument("--devices", type=int, default=None,
                     help="number of devices for --sharded")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-process run: jax.distributed bring-up, "
+                         "host-local slab IO, Z-sharded solve over every "
+                         "device in the job")
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="coordinator address for --distributed (omit on "
+                         "TPU pods with auto-detected metadata)")
+    ap.add_argument("--num-processes", type=int, default=None,
+                    help="process count for --distributed manual launches")
+    ap.add_argument("--process-id", type=int, default=None,
+                    help="this process's id for --distributed manual "
+                         "launches")
     ap.add_argument("--piecewise", action="store_true",
                     help="out-of-core: stream Z-chunks through one device "
                          "(for volumes larger than device memory)")
@@ -71,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="save/resume the flow at pyramid-level boundaries")
     ap.add_argument("--residuals", action="store_true",
                     help="log per-sweep residual curves")
+    ap.add_argument("--timings", action="store_true",
+                    help="log per-phase wall times (pyramid build + each "
+                         "level; the reference's per-op timing prints). "
+                         "Levels run as separate jit steps")
     ap.add_argument("--report-fit", action="store_true",
                     help="log the data-term fit |I1(x+s) - I0| after the "
                          "solve (registration quality diagnostic)")
@@ -90,8 +109,8 @@ def params_from_args(args) -> FlowParams:
             overrides.update(json.load(f))
     for name in ["alpha", "levels", "scale_factor", "warps",
                  "inner_iterations", "sweeps", "omega", "presmooth_sigma",
-                 "eps_data", "eps_smooth", "flow_clamp", "residual_tol",
-                 "penalizer_data",
+                 "eps_data", "eps_smooth", "flow_clamp", "deriv_order",
+                 "residual_tol", "penalizer_data",
                  "penalizer_smooth", "solver"]:
         v = getattr(args, name, None)
         if v is not None:
@@ -115,8 +134,22 @@ def _load(path: str, dims, dtype) -> np.ndarray:
     return arr
 
 
+def _list_ops() -> int:
+    from tpuflow3d.ops import OPS
+    for name, spec in OPS.items():
+        print(f"{name:12s}  {spec.bytes_per_voxel:5.0f} B/vox  "
+              f"halo: {spec.z_halo:42s}  ref: {spec.reference}")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.list_ops:
+        return _list_ops()
+    if not args.frame0 or not args.frame1:
+        print("tpuflow3d: error: --frame0 and --frame1 are required",
+              file=sys.stderr)
+        return 2
     try:
         return _run(args)
     except (ValueError, OSError) as e:
@@ -126,10 +159,78 @@ def main(argv=None) -> int:
         return 2
 
 
+def _check_path_flags(args) -> None:
+    """The execution paths are mutually exclusive (except checkpointing,
+    which composes with all of them) — reject ambiguous combinations
+    instead of silently picking one (a --sharded --checkpoint-dir run used
+    to fall through to the UNSHARDED checkpointed path)."""
+    modes = [name for name, on in [("--piecewise", args.piecewise),
+                                   ("--sharded", args.sharded),
+                                   ("--distributed", args.distributed)]
+             if on]
+    if len(modes) > 1:
+        raise ValueError(f"{' and '.join(modes)} are mutually exclusive")
+
+
+def _run_distributed(args, params, log) -> int:
+    """Multi-process entry: the reference's single main() covers its whole
+    surface (SURVEY.md §5.1); this flag gives the multi-host path the same
+    front door instead of requiring a hand-written worker script."""
+    from tpuflow3d import distributed as dist
+
+    dist.initialize(args.coordinator, args.num_processes, args.process_id)
+    import jax
+    log.log("distributed", process=jax.process_index(),
+            n_processes=jax.process_count(), n_devices=len(jax.devices()))
+    meta = None
+    if args.dims is not None:
+        meta = vio.VolumeMeta(tuple(args.dims), args.dtype or "float32")
+    else:
+        meta = vio.read_sidecar(args.frame0)
+        if meta is None:
+            raise ValueError(f"--distributed needs --dims or a .json "
+                             f"sidecar for {args.frame0}")
+    if meta.dtype != "float32":
+        raise ValueError("--distributed reads slabs directly from the raw "
+                         "files; convert inputs to float32 first "
+                         "(non-f32 widening happens in-memory otherwise)")
+    mesh = dist.global_z_mesh()
+    params = _notice_flow_clamp(params, mesh.devices.size, log)
+    t0 = time.perf_counter()
+    flow = dist.compute_flow_distributed(
+        args.frame0, args.frame1, meta, params, mesh,
+        out_prefix=args.out, checkpoint_dir=args.checkpoint_dir)
+    flow.block_until_ready()
+    dt = time.perf_counter() - t0
+    voxels = float(np.prod(meta.shape))
+    log.log("done", seconds=dt, voxels_per_s=voxels / dt,
+            process=jax.process_index())
+    log.log("written", prefix=args.out, note="u/v/w slabs per process")
+    return 0
+
+
+def _notice_flow_clamp(params, n, log):
+    from tpuflow3d.sharding import DEFAULT_FLOW_CLAMP, prepare_params
+    pp = prepare_params(params, n)
+    if params.flow_clamp <= 0.0 and pp.flow_clamp == DEFAULT_FLOW_CLAMP:
+        log.log("notice", flow_clamp=pp.flow_clamp,
+                message=f"sharded run defaulted flow_clamp to "
+                        f"{pp.flow_clamp} (bounds the warp halo); raise "
+                        "--flow-clamp if per-level motion exceeds it")
+        print(f"tpuflow3d: note: sharded run caps per-level flow at "
+              f"{pp.flow_clamp} voxels (warp halo bound); pass "
+              "--flow-clamp to raise", file=sys.stderr)
+    return pp
+
+
 def _run(args) -> int:
     log = JsonlLogger(path=args.log_json)
     params = params_from_args(args)
     log.log("start", params=params, frame0=args.frame0, frame1=args.frame1)
+    _check_path_flags(args)
+
+    if args.distributed:
+        return _run_distributed(args, params, log)
 
     i0 = _load(args.frame0, args.dims, args.dtype)
     i1 = _load(args.frame1, args.dims, args.dtype)
@@ -144,6 +245,10 @@ def _run(args) -> int:
 
     t0 = time.perf_counter()
     diagnostics = params.track_residuals
+    timer = None
+    if args.timings:
+        from tpuflow3d.utils.profiling import PhaseTimer
+        timer = PhaseTimer()
     stack = contextlib.ExitStack()
     stack.enter_context(xla_trace(args.profile_dir))
     if args.piecewise:
@@ -151,23 +256,25 @@ def _run(args) -> int:
         flow = compute_flow_piecewise(i0, i1, params, chunk_z=args.chunk_z,
                                       checkpoint_dir=args.checkpoint_dir)
         diag = {}
-    elif args.checkpoint_dir:
-        from tpuflow3d.pipeline import compute_flow_checkpointed
-        flow = compute_flow_checkpointed(i0, i1, params,
-                                         checkpoint_dir=args.checkpoint_dir)
-        diag = {}
     elif args.sharded:
-        from tpuflow3d.sharding import (compute_flow_sharded, make_z_mesh,
-                                        prepare_params)
+        from tpuflow3d.sharding import compute_flow_sharded, make_z_mesh
         mesh = make_z_mesh(args.devices)
         n = mesh.devices.size
-        pp = prepare_params(params, n)
+        pp = _notice_flow_clamp(params, n, log)
         i0p = vio.pad_to_multiple(i0, n)
         i1p = vio.pad_to_multiple(i1, n)
         out = compute_flow_sharded(i0p, i1p, pp, mesh,
-                                   diagnostics=diagnostics)
+                                   diagnostics=diagnostics,
+                                   checkpoint_dir=args.checkpoint_dir,
+                                   timer=timer)
         flow = (out[0] if diagnostics else out)[:, :i0.shape[0]]
         diag = out[1] if diagnostics else {}
+    elif args.checkpoint_dir or timer is not None:
+        from tpuflow3d.pipeline import compute_flow_checkpointed
+        flow = compute_flow_checkpointed(i0, i1, params,
+                                         checkpoint_dir=args.checkpoint_dir,
+                                         timer=timer)
+        diag = {}
     else:
         from tpuflow3d.pipeline import compute_flow
         out = compute_flow(i0, i1, params, diagnostics=diagnostics)
@@ -176,6 +283,11 @@ def _run(args) -> int:
     flow = np.asarray(flow)
     stack.close()
     dt = time.perf_counter() - t0
+    if timer is not None:
+        log.log("timings", phases=timer.report())
+        for name, rec in timer.report().items():
+            print(f"tpuflow3d: {name}: {rec['seconds']:.3f}s",
+                  file=sys.stderr)
 
     voxels = float(np.prod(i0.shape))
     log.log("done", seconds=dt, voxels_per_s=voxels / dt)

@@ -27,15 +27,32 @@ def central_diff(x: jax.Array, axis: int, ctx: HaloCtx = HaloCtx()) -> jax.Array
                   - neighbor_slices(xp, 1, axis, -1))
 
 
+def central_diff4(x: jax.Array, axis: int,
+                  ctx: HaloCtx = HaloCtx()) -> jax.Array:
+    """4th-order 5-point stencil (-x[p+2] + 8x[p+1] - 8x[p-1] + x[p-2])/12
+    with replicate edges. The reference family sometimes uses the 5-point
+    form (SURVEY.md §11 risk item 3); exposed via FlowParams.deriv_order."""
+    if axis in (Z_AXIS, x.ndim + Z_AXIS):
+        xp = ctx.zpad(x, 2)
+        axis = Z_AXIS
+    else:
+        xp = replicate_pad(x, 2, axis=axis)
+    nb = {d: neighbor_slices(xp, 2, axis, d) for d in (-2, -1, 1, 2)}
+    return (-nb[2] + 8.0 * nb[1] - 8.0 * nb[-1] + nb[-2]) * (1.0 / 12.0)
+
+
 def derivatives(i0: jax.Array, i1w: jax.Array,
-                ctx: HaloCtx = HaloCtx()) -> tuple[jax.Array, jax.Array]:
+                ctx: HaloCtx = HaloCtx(),
+                order: int = 2) -> tuple[jax.Array, jax.Array]:
     """Returns (g, it): g = (3, D, H, W) spatial gradient (Iz, Iy, Ix) of
-    the averaged volume, it = Ĩ1 − I0."""
+    the averaged volume, it = Ĩ1 − I0. order: 2 (3-point central) or 4
+    (5-point, SURVEY.md §11 risk item 3)."""
+    diff = central_diff if order == 2 else central_diff4
     ibar = 0.5 * (i0 + i1w)
     g = jnp.stack([
-        central_diff(ibar, Z_AXIS, ctx),
-        central_diff(ibar, -2, ctx),
-        central_diff(ibar, -1, ctx),
+        diff(ibar, Z_AXIS, ctx),
+        diff(ibar, -2, ctx),
+        diff(ibar, -1, ctx),
     ])
     it = i1w - i0
     return g, it

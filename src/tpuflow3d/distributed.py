@@ -49,18 +49,10 @@ def global_z_mesh() -> Mesh:
 
 
 def _process_z_range(d_global: int, mesh: Mesh) -> tuple[int, int]:
-    """The contiguous global-Z range owned by this process's devices."""
-    n = mesh.devices.size
-    assert d_global % n == 0
-    per_dev = d_global // n
-    sharding = NamedSharding(mesh, P(Z_AXIS_NAME, None, None))
-    # Addressable device indices along the mesh axis:
-    flat = list(mesh.devices.flat)
-    mine = [i for i, dev in enumerate(flat)
-            if dev.process_index == jax.process_index()]
-    lo = min(mine) * per_dev
-    hi = (max(mine) + 1) * per_dev
-    return lo, hi
+    """The contiguous global-Z range owned by this process's devices
+    (asserts contiguity — see sharding.process_z_range)."""
+    from tpuflow3d.sharding import process_z_range
+    return process_z_range(d_global, mesh)
 
 
 def load_sharded_volume(path: str, meta: VolumeMeta, mesh: Mesh,
@@ -93,13 +85,17 @@ def save_sharded_flow(prefix: str, flow: jax.Array) -> None:
 def compute_flow_distributed(frame0: str, frame1: str, meta: VolumeMeta,
                              params: FlowParams = FlowParams(),
                              mesh: Mesh | None = None,
-                             out_prefix: str | None = None) -> jax.Array:
+                             out_prefix: str | None = None,
+                             checkpoint_dir: str | None = None) -> jax.Array:
     """End-to-end multi-host run: host-local sharded load -> Z-sharded
     solve -> (optionally) host-local sharded write. Returns the sharded
     (3, D, H, W) flow array.
 
     The Z extent must be divisible by the total device count (pad the file
-    or pass z_multiple-padded volumes upstream)."""
+    or pass z_multiple-padded volumes upstream). With ``checkpoint_dir``
+    the flow is saved per-shard at every pyramid-level boundary and resume
+    reads only each process's own Z slab (SURVEY.md §7 checkpointing for
+    the sharded 1024^3 case)."""
     if mesh is None:
         mesh = global_z_mesh()
     n = mesh.devices.size
@@ -109,7 +105,12 @@ def compute_flow_distributed(frame0: str, frame1: str, meta: VolumeMeta,
     params = prepare_params(params, n)
     i0 = load_sharded_volume(frame0, meta, mesh)
     i1 = load_sharded_volume(frame1, meta, mesh)
-    flow = _sharded_fn(params, mesh, diagnostics=False)(i0, i1)
+    if checkpoint_dir is not None:
+        from tpuflow3d.sharding import _compute_flow_sharded_checkpointed
+        flow = _compute_flow_sharded_checkpointed(i0, i1, params, mesh,
+                                                  checkpoint_dir)
+    else:
+        flow = _sharded_fn(params, mesh, diagnostics=False)(i0, i1)
     if out_prefix is not None:
         flow.block_until_ready()
         save_sharded_flow(out_prefix, flow)

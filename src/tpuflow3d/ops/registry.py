@@ -78,14 +78,22 @@ _register(OpSpec(
     reference="derivative stencil kernels (part of solve pipeline)",
     doc="Spatiotemporal central-difference stencils on (I0 + warped I1)/2."))
 
+def _solve_bytes() -> float:
+    # Single source of truth with the bench roofline (utils/roofline.py):
+    # the production color-packed Pallas kernel streams 36 B/voxel per
+    # half-sweep (flat compact-terms: 56; XLA fallback: 80).
+    from tpuflow3d.utils.roofline import SweepByteModel
+    return SweepByteModel(packed=True).per_half_sweep
+
+
 _register(OpSpec(
     name="solve",
     fn=_solver.sor_halfsweep,
     z_halo="1 plane per half-sweep (ppermute each sweep)",
-    bytes_per_voxel=56.0,  # du(12)+c(12)+g(12)+psi(8), write 12 (compact)
+    bytes_per_voxel=_solve_bytes(),
     reference="CudaOperationSolve3D",
     doc="Red-black SOR half-sweep on the coupled Euler-Lagrange system "
-        "(Sherman-Morrison pointwise solve)."))
+        "(Sherman-Morrison pointwise solve; color-packed Pallas layout)."))
 
 _register(OpSpec(
     name="median",

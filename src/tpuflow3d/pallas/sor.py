@@ -120,7 +120,11 @@ def _kernel(z0_ref,
     b = c
     sw = jnp.zeros_like(ps)
     for pnb, m, dnb in zip(ps_nb, masks, du_nb):
-        wd = (alpha * 0.5) * (ps + pnb) * m
+        # Gate via where (not multiply-by-mask): for a partial last Y block
+        # the out-of-bounds rows of the fetched psi_s tile are unspecified
+        # VMEM data, and mask*NaN = NaN would poison sw for the adjacent
+        # valid row. where(m > 0, ...) keeps garbage out entirely.
+        wd = jnp.where(m > 0.0, (alpha * 0.5) * (ps + pnb), 0.0)
         sw = sw + wd
         b = b + jnp.where(wd > 0.0, wd * dnb, 0.0)
 

@@ -53,6 +53,12 @@ class FlowParams:
                                 # norm (psum across shards) falls below this
                                 # (0 = always run all sweeps)
 
+    # --- discretization ---
+    deriv_order: int = 2        # image-gradient stencil: 2 (3-pt central)
+                                # or 4 (5-pt, SURVEY.md §11 risk item 3);
+                                # smoothness-term gradients stay 2nd order
+                                # (consistent with the 6-neighbor stencil)
+
     # --- post-processing ---
     median: bool = True         # 3x3x3 median filter on flow increments
     flow_clamp: float = 0.0     # clamp |flow component| per level (0 = off);
@@ -67,6 +73,10 @@ class FlowParams:
                                 # §10: bf16 as a storage optimization only;
                                 # du and all arithmetic stay f32)
     backend: Backend = "auto"   # 'pallas' on TPU, 'xla' elsewhere when 'auto'
+    sweep_layout: str = "packed"  # Pallas SOR data layout: 'packed' stores
+                                # du/terms checkerboard-split by color (36 vs
+                                # 56 B/voxel per half-sweep, all VPU lanes
+                                # active); 'flat' = full-layout kernel
     z_multiple: int = 1         # round every level's Z dim up to a multiple
                                 # (set to the Z-mesh size for sharded runs)
     track_residuals: bool = False  # record per-sweep residual norms
@@ -84,6 +94,10 @@ class FlowParams:
             raise ValueError("z_multiple must be >= 1")
         if self.sweeps < 1 or self.warps < 1 or self.inner_iterations < 1:
             raise ValueError("iteration counts must be >= 1")
+        if self.sweep_layout not in ("packed", "flat"):
+            raise ValueError("sweep_layout must be 'packed' or 'flat'")
+        if self.deriv_order not in (2, 4):
+            raise ValueError("deriv_order must be 2 or 4")
 
     # ---- derived quantities (all static) ----
 

@@ -64,7 +64,7 @@ def _wctx(z0, dg: int) -> HaloCtx:
 def _ph_warp_deriv(i0s, i1s, fls, z0, dg: int, p: FlowParams):
     ctx = _wctx(z0, dg)
     i1w = warp_volume(i1s, fls, ctx, max_disp=p.flow_clamp)
-    g, it = derivatives(i0s, i1w, ctx)
+    g, it = derivatives(i0s, i1w, ctx, order=p.deriv_order)
     return g, it
 
 
@@ -160,7 +160,8 @@ def _stream_resample(x: np.ndarray, out_shape, sigma: float, chunk: int,
 
 def _solve_level_streamed(i0l, i1l, flow, p: FlowParams, chunk: int):
     d, h, w = i0l.shape
-    mw = int(math.ceil(p.flow_clamp)) + 2  # warp margin + derivative plane
+    # Warp margin + derivative stencil radius (1 for 2-point, 2 for 5-point)
+    mw = int(math.ceil(p.flow_clamp)) + 1 + p.deriv_order // 2
     for _ in range(p.warps):
         g = np.empty((3, d, h, w), np.float32)
         it = np.empty((d, h, w), np.float32)

@@ -45,7 +45,9 @@ def solve_level(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx,
     from tpuflow3d.backend import pallas_interpret, use_pallas
     from tpuflow3d.pallas.warp_grad import (PALLAS_WARP_MAX_CLAMP,
                                             warp_grad_pallas)
-    fused_warp = (use_pallas(p)
+    # The fused kernel computes 2-point derivatives in-VMEM; 4th-order
+    # stencils take the XLA warp + derivative path.
+    fused_warp = (use_pallas(p) and p.deriv_order == 2
                   and 0.0 < p.flow_clamp <= PALLAS_WARP_MAX_CLAMP)
 
     def warp_body(wi, carry):
@@ -56,7 +58,7 @@ def solve_level(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx,
                                      interpret=pallas_interpret())
         else:
             i1w = warp_volume(i1l, flow, ctx, max_disp=p.flow_clamp)
-            g, it = derivatives(i0l, i1w, ctx)
+            g, it = derivatives(i0l, i1w, ctx, order=p.deriv_order)
         slot = res[wi] if track else None
         du, slot_out = solve_increment(g, it, flow, p, ctx, parity, slot)
         if track:
@@ -140,13 +142,21 @@ def _compute_flow_jit(i0, i1, params: FlowParams, diagnostics: bool):
 
 
 def compute_flow_checkpointed(i0, i1, params: FlowParams = FlowParams(),
-                              checkpoint_dir: str | None = None):
+                              checkpoint_dir: str | None = None,
+                              timer=None):
     """compute_flow with per-level checkpoint/resume (SURVEY.md §7
     "Checkpoint / resume"): the accumulated flow — the only live state — is
     saved at every pyramid-level boundary, and an interrupted run re-enters
     the level loop where it stopped. Levels execute as separate jit steps
     (host sync between levels) instead of one fused jit, which is the cost
-    of resumability."""
+    of resumability.
+
+    ``timer``: optional utils.profiling.PhaseTimer — records pyramid-build
+    and per-level wall times (the analog of the reference's per-op timing
+    prints, SURVEY.md §7 "Tracing / profiling"); also usable without a
+    checkpoint_dir purely for level-stepped timing."""
+    import contextlib
+
     from tpuflow3d import checkpoint as ckpt
 
     p = params
@@ -160,9 +170,16 @@ def compute_flow_checkpointed(i0, i1, params: FlowParams = FlowParams(),
         i0 = jnp.concatenate([i0, jnp.repeat(i0[-1:], d_pad - d, 0)], 0)
         i1 = jnp.concatenate([i1, jnp.repeat(i1[-1:], d_pad - d, 0)], 0)
 
+    def phase(name, sync=None):
+        if timer is None:
+            return contextlib.nullcontext()
+        return timer.phase(name, sync=sync)
+
     shapes = p.level_shapes(tuple(i0.shape))
     prep = jax.jit(lambda a, b: prepare_pyramids(a, b, p, ctx)[:2])
-    pyr0, pyr1 = prep(i0, i1)
+    with phase("pyramids"):
+        pyr0, pyr1 = jax.block_until_ready(prep(i0, i1)) \
+            if timer is not None else prep(i0, i1)
     n_levels = len(shapes)
     dtype = jnp.dtype(p.dtype)
 
@@ -189,11 +206,15 @@ def compute_flow_checkpointed(i0, i1, params: FlowParams = FlowParams(),
         return jax.jit(fn)
 
     for li in range(start, -1, -1):
-        flow = level_fn(li)(pyr0[li], pyr1[li], flow)
+        with phase(f"level{li} {shapes[li]}"):
+            flow = level_fn(li)(pyr0[li], pyr1[li], flow)
+            if timer is not None:
+                flow.block_until_ready()
         if checkpoint_dir is not None and li > 0:
             flow.block_until_ready()
             # Saved state is "ready to solve level li-1".
-            ckpt.save_level_checkpoint(checkpoint_dir, flow, li - 1, p)
+            with phase(f"checkpoint L{li - 1}"):
+                ckpt.save_level_checkpoint(checkpoint_dir, flow, li - 1, p)
     return flow[:, :d]
 
 

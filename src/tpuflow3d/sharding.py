@@ -80,12 +80,19 @@ def shard_volume(vol, mesh: Mesh):
 
 def compute_flow_sharded(i0, i1, params: FlowParams = FlowParams(),
                          mesh: Mesh | None = None,
-                         diagnostics: bool = False):
+                         diagnostics: bool = False,
+                         checkpoint_dir: str | None = None,
+                         timer=None):
     """Z-sharded dense 3D optical flow over a device mesh.
 
     i0/i1: (D, H, W) with D divisible by the mesh size (pad upstream via
     volume.pad_to_multiple if needed). Returns (3, D, H, W) flow sharded
     along Z (axis 1).
+
+    With ``checkpoint_dir`` the flow is saved per-shard at every pyramid
+    level boundary and an interrupted run resumes at the level it reached
+    (levels then execute as separate jit steps — see
+    pipeline.compute_flow_checkpointed for the same trade on one chip).
     """
     if mesh is None:
         mesh = make_z_mesh()
@@ -99,4 +106,123 @@ def compute_flow_sharded(i0, i1, params: FlowParams = FlowParams(),
             "pad with volume.pad_to_multiple first")
     i0 = shard_volume(i0, mesh)
     i1 = shard_volume(i1, mesh)
+    if checkpoint_dir is not None or timer is not None:
+        if diagnostics:
+            raise ValueError("diagnostics is not supported with "
+                             "checkpoint_dir/timer (levels run as "
+                             "separate jits)")
+        return _compute_flow_sharded_checkpointed(i0, i1, params, mesh,
+                                                  checkpoint_dir, timer)
     return _sharded_fn(params, mesh, diagnostics)(i0, i1)
+
+
+def _flow_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(None, Z_AXIS_NAME, None, None))
+
+
+def process_z_range(d_global: int, mesh: Mesh) -> tuple[int, int]:
+    """The contiguous global-Z range owned by this process's devices."""
+    n = mesh.devices.size
+    assert d_global % n == 0, (d_global, n)
+    per_dev = d_global // n
+    flat = list(mesh.devices.flat)
+    mine = [i for i, dev in enumerate(flat)
+            if dev.process_index == jax.process_index()]
+    # Host-local slab IO requires each process to own a contiguous Z run;
+    # an interleaved device order would make every process read/write the
+    # wrong slab (silently, via make_array_from_process_local_data).
+    assert mine == list(range(mine[0], mine[-1] + 1)), (
+        f"process {jax.process_index()} owns non-contiguous mesh positions "
+        f"{mine}; build the Z mesh from process-ordered devices")
+    return mine[0] * per_dev, (mine[-1] + 1) * per_dev
+
+
+def _make_sharded_flow(local_np, mesh: Mesh, global_shape):
+    """Assemble a Z-sharded (3, D, H, W) flow from each process's slab."""
+    return jax.make_array_from_process_local_data(
+        _flow_sharding(mesh), np.ascontiguousarray(local_np),
+        global_shape=tuple(global_shape))
+
+
+def _compute_flow_sharded_checkpointed(i0, i1, p: FlowParams, mesh: Mesh,
+                                       checkpoint_dir: str | None,
+                                       timer=None):
+    """Per-level checkpointed Z-sharded solve: save per-shard slabs at each
+    level boundary, resume by reading only this process's Z range
+    (no process ever materializes the global flow). ``timer``: optional
+    PhaseTimer for per-level timings (checkpoint_dir may be None when only
+    timings are wanted)."""
+    import contextlib
+    import sys
+
+    from tpuflow3d import checkpoint as ckpt
+    from tpuflow3d.pipeline import prepare_pyramids, solve_level
+    from tpuflow3d.pyramid import upsample_flow
+
+    def phase(name):
+        if timer is None:
+            return contextlib.nullcontext()
+        return timer.phase(name)
+
+    n = mesh.shape[Z_AXIS_NAME]
+    ctx = HaloCtx(axis_name=Z_AXIS_NAME, n_shards=n)
+    vol_spec = P(Z_AXIS_NAME, None, None)
+    flow_spec = P(None, Z_AXIS_NAME, None, None)
+    gshape = tuple(i0.shape)
+    shapes = p.level_shapes(gshape)
+    n_levels = len(shapes)
+    dtype = jnp.dtype(p.dtype)
+
+    prep = jax.jit(jax.shard_map(
+        lambda a, b: prepare_pyramids(a, b, p, ctx)[:2],
+        mesh=mesh, in_specs=(vol_spec, vol_spec),
+        out_specs=([vol_spec] * n_levels, [vol_spec] * n_levels),
+        check_vma=False))
+    with phase("pyramids"):
+        pyr0, pyr1 = prep(i0, i1)
+        if timer is not None:
+            jax.block_until_ready((pyr0, pyr1))
+
+    start = n_levels - 1
+    lo, hi = process_z_range(shapes[-1][0], mesh)
+    flow = _make_sharded_flow(
+        np.zeros((3, hi - lo, *shapes[-1][1:]), dtype),
+        mesh, (3, *shapes[-1]))
+    state = (ckpt.peek_level_checkpoint(checkpoint_dir)
+             if checkpoint_dir is not None else None)
+    if state is not None:
+        (d, h, w), level = state
+        if 0 <= level < n_levels and (d, h, w) == shapes[level]:
+            lo, hi = process_z_range(d, mesh)
+            slab, _ = ckpt.load_level_checkpoint(checkpoint_dir, lo, hi - lo)
+            flow = _make_sharded_flow(slab, mesh, (3, d, h, w))
+            start = level
+        else:
+            print(f"tpuflow3d: checkpoint at {checkpoint_dir} has shape "
+                  f"{(d, h, w)} (level {level}) which does not match this "
+                  "run's pyramid; starting fresh", file=sys.stderr)
+
+    def level_fn(li):
+        def fn(i0l, i1l, fl):
+            fl, _ = solve_level(i0l, i1l, fl, p, ctx)
+            if li > 0:
+                fl = upsample_flow(fl, shapes[li - 1], ctx)
+                if p.flow_clamp > 0.0:
+                    fl = jnp.clip(fl, -p.flow_clamp, p.flow_clamp)
+            return fl
+
+        return jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=(vol_spec, vol_spec, flow_spec),
+            out_specs=flow_spec, check_vma=False))
+
+    for li in range(start, -1, -1):
+        with phase(f"level{li} {shapes[li]}"):
+            flow = level_fn(li)(pyr0[li], pyr1[li], flow)
+            if timer is not None:
+                flow.block_until_ready()
+        if checkpoint_dir is not None and li > 0:
+            flow.block_until_ready()
+            # Saved state is "ready to solve level li-1".
+            with phase(f"checkpoint L{li - 1}"):
+                ckpt.save_level_checkpoint(checkpoint_dir, flow, li - 1, p)
+    return flow

@@ -216,12 +216,44 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
     from tpuflow3d.backend import pallas_interpret, use_pallas
     pallas_sweeps = p.solver == "sor" and use_pallas(p)
     if pallas_sweeps:
-        from tpuflow3d.pallas.sor import sor_halfsweep_pallas
         interp = pallas_interpret()
+    # Color-packed layout needs even W (pairs of lanes per packed lane),
+    # and on real TPUs it only wins when the packed lane dim still fills
+    # (multiples of) the 128-lane vector tile — W >= 256. Below that the
+    # packed arrays waste lanes to tile padding and Mosaic compile time
+    # explodes on the relayouts, so coarse pyramid levels use the flat
+    # kernel (dispatch is static per level). Interpret mode (CPU tests)
+    # keeps packed enabled at any even W for coverage.
+    packed = (pallas_sweeps and p.sweep_layout == "packed"
+              and it.shape[-1] % 2 == 0
+              and (interp or it.shape[-1] >= 256))
+    if pallas_sweeps:
         z0 = ctx.z0(it.shape[-3])
         dg = ctx.d_global(it.shape[-3])
+        if packed:
+            from tpuflow3d.pallas.sor_packed import (pack_color,
+                                                     sor_halfsweep_packed,
+                                                     unpack_colors)
+        else:
+            from tpuflow3d.pallas.sor import sor_halfsweep_pallas
 
     def one_sweep(du, t, ps_halos):
+        """One full red+black sweep. ``du`` is the packed color pair under
+        the packed layout, the full (3,D,H,W) increment otherwise."""
+        if packed:
+            d0, d1 = du
+            (c_pk, g_pk, ps_pk, pd_pk), ps_halos_pk = t, ps_halos
+            lo, hi = ctx.z_halo_planes(d1)
+            d0 = sor_halfsweep_packed(
+                d0, d1, c_pk[0], g_pk[0], ps_pk[0], ps_pk[1], pd_pk[0],
+                lo, hi, ps_halos_pk[1][0], ps_halos_pk[1][1], z0,
+                p.alpha, p.omega, 0, dg, interpret=interp)
+            lo, hi = ctx.z_halo_planes(d0)
+            d1 = sor_halfsweep_packed(
+                d1, d0, c_pk[1], g_pk[1], ps_pk[1], ps_pk[0], pd_pk[1],
+                lo, hi, ps_halos_pk[0][0], ps_halos_pk[0][1], z0,
+                p.alpha, p.omega, 1, dg, interpret=interp)
+            return (d0, d1)
         if pallas_sweeps:
             du1 = du
             for color in (0, 1):
@@ -238,11 +270,32 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
             du1 = jacobi_sweep(du, t, p.jacobi_omega(), ctx)
         return du1
 
+    def _abs_delta(a, b):
+        if packed:
+            return sum(jnp.sum(jnp.abs(x - y)) for x, y in zip(a, b))
+        return jnp.sum(jnp.abs(a - b))
+
     def inner_body(k, carry):
         du, res = carry
         t = compute_terms(g, it, flow, du, p, ctx)
-        # psi_s halos are fixed within an inner iteration: exchange once.
-        ps_halos = ctx.z_halo_planes(t.psi_s) if pallas_sweeps else None
+        if packed:
+            # Pack du + the sweep constants once per nonlinearity update
+            # (exact lane permutation, amortized over p.sweeps sweeps).
+            terms = tuple(
+                tuple(pack_color(a, col, z0)
+                      for a in (t.c, t.g, t.psi_s, t.psi_d))
+                for col in (0, 1))
+            # Regroup as (c, g, ps, pd) pairs indexed by color.
+            t_sw = tuple(tuple(terms[col][i] for col in (0, 1))
+                         for i in range(4))
+            ps_halos = tuple(ctx.z_halo_planes(t_sw[2][col])
+                             for col in (0, 1))
+            du_sw = (pack_color(du, 0, z0), pack_color(du, 1, z0))
+        else:
+            t_sw = t
+            # psi_s halos are fixed within an inner iteration: exchange once.
+            ps_halos = ctx.z_halo_planes(t.psi_s) if pallas_sweeps else None
+            du_sw = du
 
         if p.residual_tol > 0.0:
             # Early stopping: sweep until the mean update norm (psum across
@@ -254,26 +307,31 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
 
             def body(carry2):
                 du, res, s, _ = carry2
-                du1 = one_sweep(du, t, ps_halos)
-                r = ctx.psum(jnp.sum(jnp.abs(du1 - du))) / n_global
+                du1 = one_sweep(du, t_sw, ps_halos)
+                r = ctx.psum(_abs_delta(du1, du)) / n_global
                 if track:
                     res = res.at[k * p.sweeps + s].set(r)
                 return (du1, res, s + 1, r)
 
-            du, res, _, _ = lax.while_loop(
+            du_sw, res, _, _ = lax.while_loop(
                 cond, body,
-                (du, res, jnp.int32(0), jnp.asarray(jnp.inf, g.dtype)))
-            return (du, res)
+                (du_sw, res, jnp.int32(0), jnp.asarray(jnp.inf, g.dtype)))
+        else:
+            def sweep_body(s, carry2):
+                du, res = carry2
+                du1 = one_sweep(du, t_sw, ps_halos)
+                if track:
+                    r = ctx.psum(_abs_delta(du1, du)) / n_global
+                    res = res.at[k * p.sweeps + s].set(r)
+                return (du1, res)
 
-        def sweep_body(s, carry2):
-            du, res = carry2
-            du1 = one_sweep(du, t, ps_halos)
-            if track:
-                r = ctx.psum(jnp.sum(jnp.abs(du1 - du))) / n_global
-                res = res.at[k * p.sweeps + s].set(r)
-            return (du1, res)
-
-        return lax.fori_loop(0, p.sweeps, sweep_body, (du, res))
+            du_sw, res = lax.fori_loop(0, p.sweeps, sweep_body,
+                                       (du_sw, res))
+        if packed:
+            du = unpack_colors(du_sw[0], du_sw[1], z0)
+        else:
+            du = du_sw
+        return (du, res)
 
     res0 = residuals_slot if track else jnp.zeros((), g.dtype)
     du, res = lax.fori_loop(0, p.inner_iterations, inner_body, (du0, res0))

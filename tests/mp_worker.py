@@ -20,6 +20,7 @@ def main():
     nproc = int(sys.argv[2])
     port = sys.argv[3]
     workdir = sys.argv[4]
+    ckdir = sys.argv[5] if len(sys.argv) > 5 else None
 
     from tpuflow3d import distributed as dist
     from tpuflow3d import volume as vio
@@ -32,9 +33,21 @@ def main():
     p = FlowParams(levels=2, warps=1, inner_iterations=1, sweeps=5,
                    alpha=0.05)
     mesh = dist.global_z_mesh()
-    flow = dist.compute_flow_distributed(
-        os.path.join(workdir, "a.raw"), os.path.join(workdir, "b.raw"),
-        meta, p, mesh, out_prefix=os.path.join(workdir, "mpflow_"))
+    args = (os.path.join(workdir, "a.raw"), os.path.join(workdir, "b.raw"),
+            meta, p, mesh)
+    if ckdir is not None:
+        # Checkpointed first pass (leaves "ready for level 0" state), then
+        # a second pass that RESUMES from it — each process reading only
+        # its own Z slab — and writes the outputs.
+        dist.compute_flow_distributed(*args, checkpoint_dir=ckdir)
+        from tpuflow3d import checkpoint as ckpt
+        assert ckpt.peek_level_checkpoint(ckdir) is not None
+        flow = dist.compute_flow_distributed(
+            *args, out_prefix=os.path.join(workdir, "mpflow_"),
+            checkpoint_dir=ckdir)
+    else:
+        flow = dist.compute_flow_distributed(
+            *args, out_prefix=os.path.join(workdir, "mpflow_"))
     flow.block_until_ready()
     print(f"[proc {pid}] ok", flush=True)
     return 0

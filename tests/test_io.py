@@ -145,3 +145,84 @@ def test_cli_uint16_and_friendly_errors(tmp_path):
     rc = cli.main(["--frame0", str(tmp_path / "missing.raw"),
                    "--frame1", f1, "--out", out])
     assert rc == 2
+
+
+def test_cli_sharded_with_checkpoint(tmp_path):
+    """--sharded --checkpoint-dir must run SHARDED with checkpointing (it
+    used to fall through silently to the unsharded checkpointed path)."""
+    import jax
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs >=2 virtual devices")
+    from tpuflow3d import cli
+    from tpuflow3d import synthetic as syn
+
+    # 16^3 so a second pyramid level exists (8^3 >= min_dim) and a
+    # level-boundary checkpoint is actually written.
+    i0, i1, _ = syn.make_pair((16, 16, 16), syn.translation((0.0, 0.0, 1.0)))
+    f0, f1 = str(tmp_path / "a.raw"), str(tmp_path / "b.raw")
+    vio.write_raw(f0, i0)
+    vio.write_raw(f1, i1)
+    out = str(tmp_path / "flow_")
+    ck = str(tmp_path / "ck")
+    rc = cli.main(["--frame0", f0, "--frame1", f1, "--out", out,
+                   "--levels", "2", "--warps", "1", "--sweeps", "5",
+                   "--sharded", "--devices", "2", "--checkpoint-dir", ck])
+    assert rc == 0
+    # Sharded-checkpointed leaves level-suffixed per-shard files behind.
+    import os
+    assert os.path.exists(os.path.join(ck, "checkpoint.json"))
+    assert os.path.exists(os.path.join(ck, "flow0_L0.raw"))
+    u = vio.read_raw(out + "u.raw")
+    assert u.shape == (16, 16, 16)
+
+
+def test_cli_mode_flags_mutually_exclusive(tmp_path):
+    from tpuflow3d import cli
+
+    f = str(tmp_path / "x.raw")
+    vio.write_raw(f, np.zeros((8, 8, 8), np.float32))
+    rc = cli.main(["--frame0", f, "--frame1", f, "--out",
+                   str(tmp_path / "o_"), "--sharded", "--piecewise"])
+    assert rc == 2
+
+
+def test_cli_timings(tmp_path, capsys):
+    """--timings logs per-phase wall times (pyramid + each level) — the
+    analog of the reference's per-op timing prints."""
+    import json as _json
+
+    from tpuflow3d import cli
+    from tpuflow3d import synthetic as syn
+
+    i0, i1, _ = syn.make_pair((16, 16, 16), syn.translation((0.0, 0.0, 1.0)))
+    f0, f1 = str(tmp_path / "a.raw"), str(tmp_path / "b.raw")
+    vio.write_raw(f0, i0)
+    vio.write_raw(f1, i1)
+    logf = str(tmp_path / "log.jsonl")
+    rc = cli.main(["--frame0", f0, "--frame1", f1,
+                   "--out", str(tmp_path / "flow_"),
+                   "--levels", "2", "--warps", "1", "--sweeps", "5",
+                   "--timings", "--log-json", logf])
+    assert rc == 0
+    events = [_json.loads(line) for line in open(logf)]
+    timing = [e for e in events if e["event"] == "timings"]
+    assert len(timing) == 1
+    phases = timing[0]["phases"]
+    assert "pyramids" in phases
+    assert any(k.startswith("level0") for k in phases)
+    assert any(k.startswith("level1") for k in phases)
+    assert all(rec["seconds"] >= 0 for rec in phases.values())
+
+
+def test_cli_list_ops(capsys):
+    from tpuflow3d import cli
+
+    assert cli.main(["--list-ops"]) == 0
+    out = capsys.readouterr().out
+    for name in ["convolution", "resample", "registration", "solve",
+                 "median", "add", "statistics", "derivatives"]:
+        assert name in out
+    assert "CudaOperationSolve3D" in out
+    # no frames given and not --list-ops -> friendly error
+    assert cli.main([]) == 2

@@ -97,3 +97,17 @@ def test_piecewise_checkpoint_resume(tmp_path):
     resumed = compute_flow_piecewise(i0, i1, p, chunk_z=8,
                                      checkpoint_dir=ck)
     np.testing.assert_allclose(resumed, full, atol=1e-6)
+
+
+def test_piecewise_deriv_order4_matches_incore():
+    """5-point stencils widen the warp/derivative chunk margin by one;
+    single-sweep strict gate (margin correctness, no ulp amplification)."""
+    shape = (24, 16, 16)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.6, 0.0, 0.4)),
+                              seed=12)
+    p = FlowParams(levels=1, warps=1, inner_iterations=1, sweeps=1,
+                   median=False, presmooth_sigma=0.0, normalize=False,
+                   alpha=0.05, flow_clamp=2.0, deriv_order=4, backend="xla")
+    ref = np.asarray(compute_flow(i0, i1, p))
+    got = compute_flow_piecewise(i0, i1, p, chunk_z=4)
+    np.testing.assert_allclose(got, ref, atol=1e-6)

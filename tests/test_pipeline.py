@@ -135,3 +135,46 @@ def test_mixed_penalizers():
                     penalizer_smooth="quadratic")
     err, est, true = _run(shape, fn, p)
     assert err < 0.15, err
+
+
+def test_deriv_order4_recovers_translation():
+    """5-point derivative option (SURVEY.md §11 risk item 3): same analytic
+    gate as the default stencil."""
+    from tpuflow3d import FlowParams, compute_flow
+    from tpuflow3d import synthetic as syn
+
+    shape = (24, 24, 24)
+    i0, i1, true = syn.make_pair(shape, syn.translation((0.0, 0.0, 1.0)),
+                                 seed=5)
+    # The 5-point stencil's narrower effective support linearizes large
+    # motions less well per warp iteration: give it more warps than the
+    # order-2 gate needs (documented A/B in VALIDATION.md).
+    p = FlowParams(levels=2, warps=5, inner_iterations=2, sweeps=10,
+                   alpha=0.05, deriv_order=4)
+    flow = np.asarray(compute_flow(i0, i1, p))
+    assert abs(np.median(flow[2]) - 1.0) < 0.3
+    # And it is actually a different discretization from the default.
+    flow2 = np.asarray(compute_flow(i0, i1, p.replace(deriv_order=2)))
+    assert np.abs(flow - flow2).max() > 1e-6
+
+
+def test_deriv_order4_sharded_matches_unsharded():
+    """Order-4 stencils need 2-plane halos: the zpad(2) exchange path."""
+    import jax
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs >=4 virtual devices")
+    from tpuflow3d import FlowParams, compute_flow
+    from tpuflow3d import synthetic as syn
+    from tpuflow3d.sharding import (compute_flow_sharded, make_z_mesh,
+                                    prepare_params)
+
+    shape = (32, 16, 16)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.7, 0.0, 0.5)),
+                              seed=6)
+    p = FlowParams(levels=2, warps=1, inner_iterations=2, sweeps=6,
+                   alpha=0.05, deriv_order=4)
+    p_sharded = prepare_params(p, 4)
+    ref = np.asarray(compute_flow(i0, i1, p_sharded))
+    got = np.asarray(compute_flow_sharded(i0, i1, p, mesh=make_z_mesh(4)))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)

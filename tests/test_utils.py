@@ -34,8 +34,9 @@ def test_roofline_model():
     bound = roofline.end_to_end_roofline(shapes, p, bw=800e9)
     # end-to-end bound must be far below the per-sweep bound
     assert bound < per_sweep / (p.warps * p.inner_iterations * p.sweeps)
-    # byte model matches the compact-terms kernel
-    assert roofline.SweepByteModel().per_half_sweep == 56
+    # byte models match the kernels: packed (production) and flat
+    assert roofline.SweepByteModel(packed=True).per_half_sweep == 36
+    assert roofline.SweepByteModel(packed=False).per_half_sweep == 56
 
 
 def test_jsonl_logger(tmp_path, capsys):
