@@ -83,6 +83,19 @@ def main():
         ("eta07", base.replace(scale_factor=0.7,
                                levels=int(levels * 1.7), warps=4)),
         ("restol", base.replace(residual_tol=1e-6, sweeps=60, warps=5)),
+        # Round-2 combos of the individually-best knobs (warps8_sweeps30 ->
+        # 3.0e-3, restol -> 2.6e-3, deriv4 -> 4.6e-3): push to the <=1e-3
+        # gate or establish the converged floor.
+        ("warps8_restol", base.replace(warps=8, sweeps=60,
+                                       residual_tol=1e-6)),
+        ("warps12_restol", base.replace(warps=12, sweeps=60,
+                                        residual_tol=1e-6)),
+        ("deriv4_warps8_restol", base.replace(deriv_order=4, warps=8,
+                                              sweeps=60, residual_tol=1e-6)),
+        ("warps12_inner5_restol", base.replace(warps=12, inner_iterations=5,
+                                               sweeps=60, residual_tol=1e-6)),
+        ("deriv4_warps12_restol", base.replace(deriv_order=4, warps=12,
+                                               sweeps=60, residual_tol=1e-6)),
     ]
     if args.quick:
         configs = configs[:3]

@@ -63,9 +63,17 @@ def _pick_block(d: int, h: int, w: int) -> tuple[int, int]:
 def _shift6(x, zup_plane, zdn_plane, yup_blk, ydn_blk):
     """Values at the 6 neighbors (z+, z-, y+, y-, x+, x-) of a 4D tile,
     using fetched margin planes/rows; X edges replicate in-block."""
+    if x.shape[1] == 1:
+        # BZ=1 (prime Z extents force it): both z-neighbors ARE the fetched
+        # margin planes; x[:, 1:] would be a zero-size vector, which Mosaic
+        # rejects ("vector types must have positive constant sizes").
+        zp, zm = zup_plane, zdn_plane
+    else:
+        zp = jnp.concatenate([x[:, 1:], zup_plane], axis=1)
+        zm = jnp.concatenate([zdn_plane, x[:, :-1]], axis=1)
     return [
-        jnp.concatenate([x[:, 1:], zup_plane], axis=1),
-        jnp.concatenate([zdn_plane, x[:, :-1]], axis=1),
+        zp,
+        zm,
         jnp.concatenate([x[:, :, 1:], yup_blk[:, :, :1]], axis=2),
         jnp.concatenate([ydn_blk[:, :, -1:], x[:, :, :-1]], axis=2),
         jnp.concatenate([x[..., 1:], x[..., -1:]], axis=3),

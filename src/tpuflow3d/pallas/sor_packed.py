@@ -75,9 +75,16 @@ def _shift6_packed(o, zup, zdn, yup, ydn, sel_hi, sel_lo):
     x neighbors select lane i / i+1 (x+) or i / i-1 (x-) by row offset."""
     xl = jnp.concatenate([o[..., 1:], o[..., -1:]], axis=3)   # lane i+1
     xr = jnp.concatenate([o[..., :1], o[..., :-1]], axis=3)   # lane i-1
+    if o.shape[1] == 1:
+        # BZ=1 (prime Z extents): z-neighbors are exactly the margin planes
+        # (o[:, 1:] would be a zero-size vector, rejected by Mosaic).
+        zp, zm = zup, zdn
+    else:
+        zp = jnp.concatenate([o[:, 1:], zup], axis=1)
+        zm = jnp.concatenate([zdn, o[:, :-1]], axis=1)
     return [
-        jnp.concatenate([o[:, 1:], zup], axis=1),
-        jnp.concatenate([zdn, o[:, :-1]], axis=1),
+        zp,
+        zm,
         jnp.concatenate([o[:, :, 1:], yup[:, :, :1]], axis=2),
         jnp.concatenate([ydn[:, :, -1:], o[:, :, :-1]], axis=2),
         jnp.where(sel_hi, xl, o),

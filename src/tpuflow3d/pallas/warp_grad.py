@@ -49,7 +49,16 @@ def _pick_by(h: int, w: int) -> int:
     # y-block so they fit scoped VMEM at any width.
     cap = 32 if w <= 256 else (16 if w <= 768 else 8)
     cands = [b for b in range(8, h + 1, 8) if h % b == 0 and b <= cap]
-    return max(cands) if cands else h
+    if cands:
+        return max(cands)
+    if h < 8:
+        return h
+    # H has no multiple-of-8 divisor <= cap (eta=0.7 ladders hit H=180, 89):
+    # BY must still be a multiple of 8 — the manual DMA windows start at
+    # j*BY on the sublane dim and Mosaic requires provably-8-aligned
+    # offsets — so use a cdiv grid with a partial last block (the kernel
+    # patches the face row, see _kernel's partial-face fix).
+    return cap
 
 
 def _pick_bz(d: int) -> int:
@@ -159,6 +168,17 @@ def _kernel(z0_ref, i1p_ref, flp_ref, i0p_ref, out_ref, i1s, fls, i0s, sems,
     r0 = jnp.where(j == 0, acc[:, 1:2], acc[:, 0:1])
     rn = jnp.where(j == nyb - 1, acc[:, -2:-1], acc[:, -1:])
     acc = jnp.concatenate([r0, acc[:, 1:-1], rn], axis=1)
+    if h % by != 0:
+        # Partial last y-block (BY chosen as a multiple of 8 when H has no
+        # such divisor): the TRUE y face sits at global row h-1, inside the
+        # last block rather than at its top edge. Replace the extended row
+        # just above the face with the face row's value so gy at h-1
+        # becomes the oracle's replicate-pad Neumann derivative
+        # 0.5*(ibar[h-1] - ibar[h-2]); rows >= h of the output block are
+        # discarded by Mosaic. Static index: e = ext index of the face row.
+        e = h - (nyb - 1) * by  # = (h-1) - (nyb-1)*by + 1
+        fix = jnp.where(j == nyb - 1, acc[:, e:e + 1], acc[:, e + 1:e + 2])
+        acc = jnp.concatenate([acc[:, :e + 1], fix, acc[:, e + 2:]], axis=1)
     acc = jnp.concatenate([acc[:, :, 1:2], acc[:, :, 1:-1], acc[:, :, -2:-1]],
                           axis=2)
 
@@ -189,7 +209,7 @@ def _warp_grad_call(i1p, flp, i0p, z0, dims, mc: int, d_global: int,
                     z_sharded: bool, interpret: bool):
     d, h, w, bz, by = dims
     p = mc + 2
-    nzb, nyb = d // bz, h // by
+    nzb, nyb = d // bz, pl.cdiv(h, by)
     sy1 = _round_up(by + 2 * p, 8)
     sys_ = _round_up(by + 2, 8)
 
@@ -234,7 +254,7 @@ def warp_grad_pallas(i1, flow, i0, ctx: HaloCtx = HaloCtx(),
     p = mc + 2
     bz = _pick_bz(d)
     by = _pick_by(h, w)
-    nyb = h // by
+    nyb = -(-h // by)  # cdiv: partial last block when H % BY != 0
     sy1 = _round_up(by + 2 * p, 8)
     sys_ = _round_up(by + 2, 8)
 

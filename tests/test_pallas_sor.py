@@ -41,7 +41,9 @@ def _pallas_half(du, t, omega, color, ctx=HaloCtx()):
 
 
 @pytest.mark.parametrize("color", [0, 1])
-@pytest.mark.parametrize("shape", [(12, 10, 14), (8, 16, 16), (7, 9, 11)])
+@pytest.mark.parametrize("shape", [(12, 10, 14), (8, 16, 16), (7, 9, 11),
+                                   (13, 64, 64)])  # prime D, BZ=1 (eta07
+                                   # levels hit D=89: zero-size z-slice bug
 def test_halfsweep_matches_xla(shape, color):
     du, t = _terms(shape)
     omega = 1.7
@@ -49,7 +51,9 @@ def test_halfsweep_matches_xla(shape, color):
     parity = parity_mask(du.shape[1:], ctx)
     ref = sor_halfsweep(du, t, omega, parity, color, ctx)
     got = _pallas_half(du, t, omega, color)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
+    # atol 5e-5: kernel and oracle accumulate the 6 neighbor terms in
+    # different orders; at 13x64x64 the f32 rounding tail crosses 1e-5.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5,
                                rtol=1e-5)
 
 

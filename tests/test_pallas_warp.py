@@ -20,7 +20,12 @@ def _case(shape, seed=0, clamp=2.0):
     return i0, i1, flow
 
 
-@pytest.mark.parametrize("shape", [(8, 16, 16), (6, 24, 10), (4, 8, 8)])
+@pytest.mark.parametrize("shape", [(8, 16, 16), (6, 24, 10), (4, 8, 8),
+                                   (6, 44, 20), (4, 89, 12)])
+# 44 and 89 have no multiple-of-8 divisor: exercises the cdiv grid with a
+# partial last y-block + in-kernel face fix (eta=0.7 ladders hit H=180/89).
+# The random flow includes inward y motion at the face, the case where the
+# fix is load-bearing.
 @pytest.mark.parametrize("clamp", [1.0, 2.0])
 def test_warp_grad_matches_oracle(shape, clamp):
     i0, i1, flow = _case(shape, clamp=clamp)
