@@ -86,11 +86,10 @@ def _kernel_fractions(shape, p, bw):
     dt = timed(flat_loop, du) / (K * 2)  # per half-sweep
     flat_ms = dt * 1e3
     bytes_model = roofline.SweepByteModel(packed=False).per_half_sweep
-    sor_frac = (vox * bytes_model / dt) / bw
-    out = {"sor_flat_halfsweep_ms": round(flat_ms, 4),
-           "sor_flat_fraction": round(sor_frac, 4)}
+    implied = {"sor_flat": vox * bytes_model / dt}
+    out = {"sor_flat_halfsweep_ms": round(flat_ms, 4)}
     print(f"bench: SOR flat half-sweep {flat_ms:.3f} ms, "
-          f"{vox / dt / 1e9:.2f} Gvox/s, HBM fraction {sor_frac:.3f}",
+          f"{vox / dt / 1e9:.2f} Gvox/s",
           file=sys.stderr, flush=True)
 
     # Color-packed half-sweep (the production layout, pallas/sor_packed).
@@ -128,12 +127,11 @@ def _kernel_fractions(shape, p, bw):
 
     dt = timed(packed_loop, tuple(du_pk)) / (K * 2)
     bytes_model = roofline.SweepByteModel(packed=True).per_half_sweep
-    sor_frac = (vox * bytes_model / dt) / bw
+    implied["sor"] = vox * bytes_model / dt
     out.update({"sor_halfsweep_ms": round(dt * 1e3, 4),
-                "sor_fraction": round(sor_frac, 4),
                 "packed_vs_flat_speedup": round(flat_ms / (dt * 1e3), 3)})
     print(f"bench: SOR packed half-sweep {dt * 1e3:.3f} ms, "
-          f"{vox / dt / 1e9:.2f} Gvox/s, HBM fraction {sor_frac:.3f}, "
+          f"{vox / dt / 1e9:.2f} Gvox/s, "
           f"{flat_ms / (dt * 1e3):.2f}x vs flat",
           file=sys.stderr, flush=True)
 
@@ -152,12 +150,21 @@ def _kernel_fractions(shape, p, bw):
 
     dt = timed(warp_loop, jnp.zeros_like(i0)) / (K // 2)
     # warp+deriv reads i1 slab + flow(12) + i0(4), writes g(12)+it(4)
-    warp_frac = (vox * (4 + 12 + 4 + 16) / dt) / bw
-    out.update({"warp_grad_ms": round(dt * 1e3, 4),
-                "warp_fraction": round(warp_frac, 4)})
-    print(f"bench: warp+deriv {dt * 1e3:.3f} ms, "
-          f"{vox / dt / 1e9:.2f} Gvox/s, HBM fraction {warp_frac:.3f}",
-          file=sys.stderr, flush=True)
+    implied["warp"] = vox * (4 + 12 + 4 + 16) / dt
+    out["warp_grad_ms"] = round(dt * 1e3, 4)
+
+    # Normalize every fraction by the fastest measured streamer — the
+    # bandwidth probe or any kernel's own implied rate — so fractions are
+    # measured/measured and <= 1 BY CONSTRUCTION even when the probe
+    # slightly underestimates what the memory system sustains (observed:
+    # the flat sweep ran 8% above the axpy probe at 128^3). On real
+    # hardware the probe wins and these are true HBM-roofline fractions.
+    bw_eff = max(bw, *implied.values())
+    for name, rate in implied.items():
+        out[f"{name}_fraction"] = round(rate / bw_eff, 4)
+        print(f"bench: {name} HBM fraction {rate / bw_eff:.3f}",
+              file=sys.stderr, flush=True)
+    out["normalizer_bw_gbps"] = round(bw_eff / 1e9, 2)
     return out
 
 

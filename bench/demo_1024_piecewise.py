@@ -1,0 +1,158 @@
+"""1024^3 out-of-core demonstration (BASELINE.json config 5 scale on ONE
+chip; VERDICT r1 missing #1: "no 1024^3 piecewise run has ever been
+demonstrated").
+
+Generates a 4 GiB/frame analytic pair on disk (sum-of-cosines texture,
+exact translation ground truth — blob generation at 1024^3 would take
+hours; the factored e^{i(az+by+cx)} form vectorizes to ~a minute), runs
+the CLI --piecewise path (host-resident volumes, Z-chunks streamed through
+the device, the reference's OpticalFlowP3D counterpart), and checks the
+recovered flow against the prescribed shift on central slabs.
+
+Usage: python bench/demo_1024_piecewise.py [--size 1024] [--chunk-z 128]
+       [--workdir DIR] [--keep]
+Writes a JSON result line to stdout; artifacts under --workdir (a temp dir
+by default, deleted unless --keep).
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
+
+import numpy as np
+
+SHIFT = (1.25, -0.75, 0.5)  # (sz, sy, sx) voxels, |s| < flow_clamp=2
+
+
+def gen_pair(shape, n_terms=8, seed=0, chunk=64):
+    """(i0, i1) f32: i0 = sum_k cos(az*z + ay*y + ax*x + ph),
+    i1(x) = i0(x - SHIFT) exactly (periodic analytic texture, feature
+    wavelengths 8-64 voxels)."""
+    rng = np.random.default_rng(seed)
+    d, h, w = shape
+    freqs = 2 * np.pi / rng.uniform(8.0, 64.0, size=(n_terms, 3))
+    sgn = rng.choice([-1.0, 1.0], size=(n_terms, 3))
+    freqs *= sgn
+    phases = rng.uniform(0, 2 * np.pi, size=n_terms)
+    amps = rng.uniform(0.5, 1.0, size=n_terms)
+
+    zz = np.arange(d, dtype=np.float64)
+    yy = np.arange(h, dtype=np.float64)
+    xx = np.arange(w, dtype=np.float64)
+    out = []
+    for shift in ((0.0, 0.0, 0.0), SHIFT):
+        acc = np.zeros(shape, np.float32)
+        for k in range(n_terms):
+            az, ay, ax = freqs[k]
+            ez = np.exp(1j * (az * (zz - shift[0]))).astype(np.complex64)
+            ey = np.exp(1j * (ay * (yy - shift[1]))).astype(np.complex64)
+            ex = np.exp(1j * (ax * (xx - shift[2]) + phases[k])).astype(
+                np.complex64)
+            eyx = ey[:, None] * ex[None, :]          # (H, W) complex64
+            for z0 in range(0, d, chunk):
+                zc = ez[z0:z0 + chunk]
+                acc[z0:z0 + chunk] += amps[k] * (
+                    zc[:, None, None] * eyx[None]).real
+        out.append(acc)
+    return out[0], out[1]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--chunk-z", type=int, default=128)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--levels", type=int, default=5)
+    ap.add_argument("--warps", type=int, default=2)
+    ap.add_argument("--sweeps", type=int, default=6)
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="passed through to the CLI. On this dev box the "
+                         "emulated-TPU tunnel moves ~0.04 GiB/s H2D / "
+                         "~0.004 GiB/s D2H, so the streamed 1024^3 run "
+                         "(terabytes of chunk traffic) is only "
+                         "demonstrable against host memory: use cpu. On "
+                         "real hardware PCIe moves 16-64 GiB/s and the "
+                         "same run streams through the chip")
+    args = ap.parse_args()
+
+    from tpuflow3d import volume as vio
+
+    wd = args.workdir or tempfile.mkdtemp(prefix="tpuflow1024_")
+    os.makedirs(wd, exist_ok=True)
+    shape = (args.size,) * 3
+    t0 = time.perf_counter()
+    print(f"demo: generating {shape} analytic pair...", file=sys.stderr,
+          flush=True)
+    i0, i1 = gen_pair(shape)
+    f0, f1 = os.path.join(wd, "f0.raw"), os.path.join(wd, "f1.raw")
+    vio.write_raw(f0, i0)
+    vio.write_raw(f1, i1)
+    gen_s = time.perf_counter() - t0
+    del i0, i1
+    print(f"demo: generated + written in {gen_s:.0f}s", file=sys.stderr,
+          flush=True)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.join(os.path.dirname(__file__), "..", "src")
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    out_prefix = os.path.join(wd, "flow_")
+    cmd = [sys.executable, "-m", "tpuflow3d.cli",
+           "--frame0", f0, "--frame1", f1, "--out", out_prefix,
+           "--piecewise", "--chunk-z", str(args.chunk_z),
+           "--levels", str(args.levels), "--warps", str(args.warps),
+           "--inner-iterations", "1", "--sweeps", str(args.sweeps),
+           "--alpha", "0.05", "--flow-clamp", "2.0", "--no-magnitude",
+           "--log-json", os.path.join(wd, "run.jsonl")]
+    if args.platform:
+        cmd += ["--platform", args.platform]
+    t0 = time.perf_counter()
+    rc = subprocess.run(cmd, env=env).returncode
+    solve_s = time.perf_counter() - t0
+    if rc != 0:
+        print(json.dumps({"demo": "1024_piecewise", "ok": False,
+                          "returncode": rc}))
+        return 1
+
+    # Check central slabs of each component against the prescribed shift
+    # (u/v/w rawfiles are x/y/z displacement).
+    d = shape[0]
+    zc = d // 2
+    errs = {}
+    item = np.dtype(np.float32).itemsize
+    plane = shape[1] * shape[2]
+    for comp, exp in (("u", SHIFT[2]), ("v", SHIFT[1]), ("w", SHIFT[0])):
+        with open(f"{out_prefix}{comp}.raw", "rb") as f:
+            f.seek((zc - 2) * plane * item)
+            slab = np.frombuffer(f.read(4 * plane * item), np.float32)
+        m = min(64, shape[1] // 4)  # interior margin (smoke sizes too)
+        slab = slab.reshape(4, shape[1], shape[2])[:, m:-m, m:-m]
+        errs[comp] = {"median": round(float(np.median(slab)), 4),
+                      "expected": exp,
+                      "mean_abs_err": round(float(np.mean(
+                          np.abs(slab - exp))), 4)}
+    voxels = float(np.prod(shape))
+    ok = all(abs(e["median"] - e["expected"]) < 0.1 for e in errs.values())
+    rec = {"demo": "1024_piecewise", "ok": ok, "size": args.size,
+           "platform": args.platform or "default",
+           "chunk_z": args.chunk_z, "gen_seconds": round(gen_s, 1),
+           "solve_seconds": round(solve_s, 1),
+           "voxels_per_s": round(voxels / solve_s, 1),
+           "params": {"levels": args.levels, "warps": args.warps,
+                      "inner_iterations": 1, "sweeps": args.sweeps},
+           "central_slab_flow": errs}
+    print(json.dumps(rec), flush=True)
+    if not args.keep:
+        shutil.rmtree(wd, ignore_errors=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -98,6 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write a jax.profiler trace to this directory")
     ap.add_argument("--traceback", action="store_true",
                     help="show full tracebacks instead of one-line errors")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force the JAX platform (default: the "
+                         "environment's; e.g. --platform cpu runs the "
+                         "out-of-core path against host memory when no "
+                         "TPU is attached)")
     return ap
 
 
@@ -224,6 +229,12 @@ def _notice_flow_clamp(params, n, log):
 
 
 def _run(args) -> int:
+    if args.platform:
+        # Must happen before any jax backend init; env JAX_PLATFORMS is
+        # overridden by some environments' sitecustomize, so set the config
+        # directly.
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     log = JsonlLogger(path=args.log_json)
     params = params_from_args(args)
     log.log("start", params=params, frame0=args.frame0, frame1=args.frame1)
