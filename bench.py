@@ -149,8 +149,8 @@ def _kernel_fractions(shape, p, bw):
         return lax.fori_loop(0, K // 2, body, acc)
 
     dt = timed(warp_loop, jnp.zeros_like(i0)) / (K // 2)
-    # warp+deriv reads i1 slab + flow(12) + i0(4), writes g(12)+it(4)
-    implied["warp"] = vox * (4 + 12 + 4 + 16) / dt
+    from tpuflow3d.ops import get_op
+    implied["warp"] = vox * get_op("warp_derivatives").bytes_per_voxel / dt
     out["warp_grad_ms"] = round(dt * 1e3, 4)
 
     # Normalize every fraction by the fastest measured streamer — the

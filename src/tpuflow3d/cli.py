@@ -32,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
                     "coarse-to-fine).")
     ap.add_argument("--frame0", help="fixed volume (.raw)")
     ap.add_argument("--frame1", help="moving volume (.raw)")
+    ap.add_argument("--frames", nargs="+", metavar="RAW", default=None,
+                    help="time series: N>=2 volumes -> N-1 flow fields "
+                         "(frame t -> t+1), written as <out><t>_u.raw etc. "
+                         "The solve is traced/compiled once and the "
+                         "executable is reused for every pair (the "
+                         "reference reloads and relaunches per pair)")
     ap.add_argument("--list-ops", action="store_true",
                     help="print the device-op catalog (halo rule, HBM byte "
                          "model, reference counterpart) and exit")
@@ -142,7 +148,7 @@ def _load(path: str, dims, dtype) -> np.ndarray:
 def _list_ops() -> int:
     from tpuflow3d.ops import OPS
     for name, spec in OPS.items():
-        print(f"{name:12s}  {spec.bytes_per_voxel:5.0f} B/vox  "
+        print(f"{name:16s}  {spec.bytes_per_voxel:5.0f} B/vox  "
               f"halo: {spec.z_halo:42s}  ref: {spec.reference}")
     return 0
 
@@ -151,9 +157,13 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.list_ops:
         return _list_ops()
-    if not args.frame0 or not args.frame1:
-        print("tpuflow3d: error: --frame0 and --frame1 are required",
-              file=sys.stderr)
+    if not args.frames and (not args.frame0 or not args.frame1):
+        print("tpuflow3d: error: --frame0 and --frame1 (or --frames) are "
+              "required", file=sys.stderr)
+        return 2
+    if args.frames and (args.frame0 or args.frame1):
+        print("tpuflow3d: error: --frames and --frame0/--frame1 are "
+              "mutually exclusive", file=sys.stderr)
         return 2
     try:
         return _run(args)
@@ -228,6 +238,81 @@ def _notice_flow_clamp(params, n, log):
     return pp
 
 
+def _solve_pair(args, params, i0, i1, log, timer, checkpoint_dir):
+    """One frame pair through the selected execution path. Returns
+    (flow ndarray, diagnostics dict). Under --frames the jitted solve is
+    traced once on the first pair; later pairs hit the executable cache
+    (identical shapes/params -> identical trace)."""
+    diagnostics = params.track_residuals
+    if args.piecewise:
+        from tpuflow3d.piecewise import compute_flow_piecewise
+        flow = compute_flow_piecewise(i0, i1, params, chunk_z=args.chunk_z,
+                                      checkpoint_dir=checkpoint_dir)
+        diag = {}
+    elif args.sharded:
+        from tpuflow3d.sharding import compute_flow_sharded, make_z_mesh
+        mesh = make_z_mesh(args.devices)
+        n = mesh.devices.size
+        pp = _notice_flow_clamp(params, n, log)
+        i0p = vio.pad_to_multiple(i0, n)
+        i1p = vio.pad_to_multiple(i1, n)
+        out = compute_flow_sharded(i0p, i1p, pp, mesh,
+                                   diagnostics=diagnostics,
+                                   checkpoint_dir=checkpoint_dir,
+                                   timer=timer)
+        flow = (out[0] if diagnostics else out)[:, :i0.shape[0]]
+        diag = out[1] if diagnostics else {}
+    elif checkpoint_dir or timer is not None:
+        from tpuflow3d.pipeline import compute_flow_checkpointed
+        flow = compute_flow_checkpointed(i0, i1, params,
+                                         checkpoint_dir=checkpoint_dir,
+                                         timer=timer)
+        diag = {}
+    else:
+        from tpuflow3d.pipeline import compute_flow
+        out = compute_flow(i0, i1, params, diagnostics=diagnostics)
+        flow = out[0] if diagnostics else out
+        diag = out[1] if diagnostics else {}
+    return np.asarray(flow), diag
+
+
+def _run_sequence(args, params, log) -> int:
+    """Time-series mode: consecutive-pair flows over N frames (the
+    reference's 4D-tomography workflow is exactly this loop of per-pair
+    runs; here the compiled executable is shared across pairs)."""
+    if len(args.frames) < 2:
+        raise ValueError("--frames needs at least 2 volumes")
+    if args.distributed:
+        raise ValueError("--frames with --distributed is not supported yet; "
+                         "run per-pair --distributed jobs")
+    timer = None
+    if args.timings:
+        from tpuflow3d.utils.profiling import PhaseTimer
+        timer = PhaseTimer()
+    i0 = _load(args.frames[0], args.dims, args.dtype)
+    for t, path in enumerate(args.frames[1:]):
+        i1 = _load(path, args.dims, args.dtype)
+        if i0.shape != i1.shape:
+            raise ValueError(f"frame shapes differ at t={t}: {i0.shape} vs "
+                             f"{i1.shape} ({path})")
+        ck = (f"{args.checkpoint_dir.rstrip('/')}/pair{t:04d}"
+              if args.checkpoint_dir else None)
+        t0 = time.perf_counter()
+        flow, _ = _solve_pair(args, params, i0, i1, log, timer, ck)
+        dt = time.perf_counter() - t0
+        prefix = f"{args.out}{t:04d}_"
+        vio.write_flow(prefix, flow, magnitude=not args.no_magnitude)
+        log.log("pair_done", t=t, frame0=args.frames[t], frame1=path,
+                seconds=dt, voxels_per_s=float(np.prod(i0.shape)) / dt,
+                prefix=prefix)
+        print(f"tpuflow3d: pair {t} ({dt:.2f}s) -> {prefix}",
+              file=sys.stderr)
+        i0 = i1
+    if timer is not None:
+        log.log("timings", phases=timer.report())
+    return 0
+
+
 def _run(args) -> int:
     if args.platform:
         # Must happen before any jax backend init; env JAX_PLATFORMS is
@@ -237,9 +322,12 @@ def _run(args) -> int:
         jax.config.update("jax_platforms", args.platform)
     log = JsonlLogger(path=args.log_json)
     params = params_from_args(args)
-    log.log("start", params=params, frame0=args.frame0, frame1=args.frame1)
+    log.log("start", params=params, frame0=args.frame0, frame1=args.frame1,
+            frames=args.frames)
     _check_path_flags(args)
 
+    if args.frames:
+        return _run_sequence(args, params, log)
     if args.distributed:
         return _run_distributed(args, params, log)
 
@@ -262,36 +350,8 @@ def _run(args) -> int:
         timer = PhaseTimer()
     stack = contextlib.ExitStack()
     stack.enter_context(xla_trace(args.profile_dir))
-    if args.piecewise:
-        from tpuflow3d.piecewise import compute_flow_piecewise
-        flow = compute_flow_piecewise(i0, i1, params, chunk_z=args.chunk_z,
-                                      checkpoint_dir=args.checkpoint_dir)
-        diag = {}
-    elif args.sharded:
-        from tpuflow3d.sharding import compute_flow_sharded, make_z_mesh
-        mesh = make_z_mesh(args.devices)
-        n = mesh.devices.size
-        pp = _notice_flow_clamp(params, n, log)
-        i0p = vio.pad_to_multiple(i0, n)
-        i1p = vio.pad_to_multiple(i1, n)
-        out = compute_flow_sharded(i0p, i1p, pp, mesh,
-                                   diagnostics=diagnostics,
-                                   checkpoint_dir=args.checkpoint_dir,
-                                   timer=timer)
-        flow = (out[0] if diagnostics else out)[:, :i0.shape[0]]
-        diag = out[1] if diagnostics else {}
-    elif args.checkpoint_dir or timer is not None:
-        from tpuflow3d.pipeline import compute_flow_checkpointed
-        flow = compute_flow_checkpointed(i0, i1, params,
-                                         checkpoint_dir=args.checkpoint_dir,
-                                         timer=timer)
-        diag = {}
-    else:
-        from tpuflow3d.pipeline import compute_flow
-        out = compute_flow(i0, i1, params, diagnostics=diagnostics)
-        flow = out[0] if diagnostics else out
-        diag = out[1] if diagnostics else {}
-    flow = np.asarray(flow)
+    flow, diag = _solve_pair(args, params, i0, i1, log, timer,
+                             args.checkpoint_dir)
     stack.close()
     dt = time.perf_counter() - t0
     if timer is not None:

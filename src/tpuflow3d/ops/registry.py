@@ -70,6 +70,21 @@ _register(OpSpec(
     reference="CudaOperationRegistration",
     doc="Backward trilinear warp of the moving volume by the current flow."))
 
+def _warp_grad(i1, flow, i0, ctx, max_disp):
+    from tpuflow3d.pallas.warp_grad import warp_grad_pallas
+    return warp_grad_pallas(i1, flow, i0, ctx, max_disp=max_disp)
+
+
+_register(OpSpec(
+    name="warp_derivatives",
+    fn=_warp_grad,
+    z_halo="ceil(max |flow_z|) + 1 planes",
+    bytes_per_voxel=4 + 12 + 4 + 16,  # read i1+flow+i0, write g(3)+It
+    reference="registration + derivative kernels (one fused HBM pass here; "
+              "BASELINE.json 'warp+derivative fusion into one Pallas pass')",
+    doc="Fused backward trilinear warp + spatiotemporal derivative stencils "
+        "(the production hot path; bench.py sources its byte model here)."))
+
 _register(OpSpec(
     name="derivatives",
     fn=_derivatives.derivatives,

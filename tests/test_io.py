@@ -226,3 +226,37 @@ def test_cli_list_ops(capsys):
     assert "CudaOperationSolve3D" in out
     # no frames given and not --list-ops -> friendly error
     assert cli.main([]) == 2
+
+
+def test_cli_sequence(tmp_path):
+    """--frames: N volumes -> N-1 flow fields, one compile shared."""
+    from tpuflow3d import cli
+    from tpuflow3d import synthetic as syn
+
+    i0, i1, _ = syn.make_pair((24, 24, 24), syn.translation((0.0, 0.0, 1.0)))
+    i2, _, _ = syn.make_pair((24, 24, 24), syn.translation((0.0, 0.0, 1.0)),
+                             seed=3)
+    paths = []
+    for t, arr in enumerate([i0, i1, i2]):
+        p = str(tmp_path / f"t{t}.raw")
+        vio.write_raw(p, arr)
+        paths.append(p)
+    out = str(tmp_path / "seq_")
+    rc = cli.main(["--frames", *paths, "--out", out,
+                   "--levels", "2", "--warps", "2", "--sweeps", "10",
+                   "--alpha", "0.05", "--no-magnitude"])
+    assert rc == 0
+    for t in range(2):
+        for comp in "uvw":
+            arr = vio.read_raw(f"{out}{t:04d}_{comp}.raw")
+            assert arr.shape == (24, 24, 24)
+    # pair 0 is the prescribed unit x-shift
+    u0 = vio.read_raw(out + "0000_u.raw")
+    assert abs(np.median(u0) - 1.0) < 0.35
+
+
+def test_cli_sequence_flag_conflicts(tmp_path):
+    from tpuflow3d import cli
+
+    assert cli.main(["--frames", "a.raw"]) == 2  # fewer than 2 frames -> err
+    assert cli.main(["--frames", "a.raw", "b.raw", "--frame0", "x.raw"]) == 2
