@@ -111,3 +111,20 @@ def test_piecewise_deriv_order4_matches_incore():
     ref = np.asarray(compute_flow(i0, i1, p))
     got = compute_flow_piecewise(i0, i1, p, chunk_z=4)
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape,chunk,sweeps",
+                         [((22, 16, 16), 4, 3), ((16, 12, 12), 8, 6),
+                          ((9, 10, 10), 3, 2)])
+def test_trapezoid_exact_vs_per_halfsweep(shape, chunk, sweeps):
+    """The wavefront temporal-blocked solver must be EXACTLY equivalent to
+    streaming each half-sweep separately (same voxel updates, same
+    order-visible states), including partial chunks and odd extents."""
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.0, 0.5, 1.0)),
+                              seed=7)
+    p = FlowParams(levels=2, warps=2, inner_iterations=2, sweeps=sweeps,
+                   flow_clamp=2.0)
+    a = compute_flow_piecewise(i0, i1, p, chunk_z=chunk, temporal_block=True)
+    b = compute_flow_piecewise(i0, i1, p, chunk_z=chunk,
+                               temporal_block=False)
+    np.testing.assert_array_equal(a, b)
