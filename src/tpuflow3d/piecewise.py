@@ -33,6 +33,18 @@ half-sweep j+1 updates, so every read sees exactly the in-core value.
 Transfer drops to ~(terms + du)/S per sweep — ~10x less PCIe traffic at
 sweeps=6 — at the cost of ~(2S+2)/chunk redundant slab planes per visit.
 
+Fully-fused streaming (the default for inner_iterations == 1): the
+trapezoid generalizes to the ENTIRE warp iteration. Because a single
+nonlinear iteration computes its sweep constants from a zero increment,
+terms are a pure function of the slab inputs, and the only cross-launch
+state is the trapezoid's graded du frontier band — which stays device-
+resident (`_ph_fused_warp_iter` carry). One launch per chunk then performs
+warp + derivatives + terms + all 2S half-sweeps + median + accumulate +
+clamp, streaming in only (i0, i1, flow) and streaming out the new flow:
+~8 floats/voxel/warp-iteration of PCIe traffic instead of ~48, and ZERO
+intermediate host arrays (no g/it/terms/du in host RAM — at 1024^3 that
+is ~56 GB less host memory than per-phase streaming).
+
 Scale note: this is the single-device overflow path; the first-class way to
 scale past one device is the Z-sharded mesh (tpuflow3d.sharding), which
 keeps everything resident and exchanges halos over ICI instead of PCIe.
@@ -126,6 +138,70 @@ def _ph_sor_trapezoid(dus, cs, gs, ws, swis, smts, z0, kbase, dg: int,
     return jax.lax.fori_loop(1, 2 * sweeps + 1, body, dus)
 
 
+@partial(jax.jit, static_argnames=("dg", "p", "sweeps", "chunk"))
+def _ph_fused_warp_iter(i0s, i1s, fls, carry, z0, kbase, dg: int,
+                        p: FlowParams, sweeps: int, chunk: int):
+    """An ENTIRE warp iteration for one chunk visit: warp + derivatives +
+    terms + all 2*sweeps half-sweeps + median + accumulate + clamp, with
+    one H2D of (i0, i1, flow) and one D2H of the new flow. Requires
+    inner_iterations == 1 (the fused-path gate in _solve_level_streamed).
+
+    Why no intermediate state needs streaming: with a single nonlinear
+    iteration the increment entering ``compute_terms`` is identically zero,
+    so the sweep constants are a pure function of the slab inputs — no
+    terms carry. And since du starts at zero, the only cross-launch du
+    state is the trapezoid's graded frontier band: ``carry`` holds du
+    planes [kbase - 2, kbase + 2S) from the previous launch (2S graded
+    planes + 2 finalized planes so the trailing median stencil can read
+    final du at kbase-2, kbase-1). Everything else on the slab is pristine
+    zero.
+
+    Frontier bookkeeping (same wavefront as _ph_sor_trapezoid): after this
+    launch du is final below kbase, so the trailing median+accumulate
+    stages cover planes [kbase - chunk - 1, kbase - 1) (their z+1 median
+    reads stay in final territory), extended to dg once kbase >= dg where
+    the global top face replicates. The host writes exactly that window.
+
+    Slab layout: [kbase - chunk - mw, kbase + 2S + mw) where
+    mw = warp margin + derivative radius (>= 2). Terms at the update
+    window need image data within mw and flow within 2 — both covered.
+    Returns (new flow slab, next carry = du[kbase + chunk - 2,
+    kbase + chunk + 2S) at slab index chunk + mw - 2)."""
+    ctx = _wctx(z0, dg)
+    i1w = warp_volume(i1s, fls, ctx, max_disp=p.flow_clamp)
+    g, it = derivatives(i0s, i1w, ctx, order=p.deriv_order)
+    du0 = jnp.zeros_like(fls)
+    t = compute_terms(g, it, fls, du0, p, ctx)
+    s2 = 2 * sweeps
+    size = fls.shape[-3]
+    mw = (size - chunk - s2) // 2  # static slab margin (see host driver)
+    du = du0.at[:, mw - 2:mw + s2].set(carry)
+    parity = parity_mask(du.shape[1:], ctx)
+    zg = z0 + jnp.arange(size, dtype=jnp.int32)
+
+    def body(j, du):
+        hi = jnp.clip(kbase + s2 - j, 0, dg)
+        lo = jnp.where(kbase > 0,
+                       jnp.clip(kbase - chunk + s2 - j, 0, dg), 0)
+        du_new = sor_halfsweep(du, t, p.omega, parity, (j - 1) & 1, ctx)
+        m = ((zg >= lo) & (zg < hi)).reshape(1, size, 1, 1)
+        return jnp.where(m, du_new, du)
+
+    du = jax.lax.fori_loop(1, s2 + 1, body, du)
+    new_carry = du[:, chunk + mw - 2:chunk + mw + s2]
+    if p.median:
+        # Restore the global-face replicate semantics of the in-core
+        # median: slab planes outside [0, dg) hold pristine zeros, so
+        # gather each plane's clamped-global twin first. Slab-edge
+        # contamination is outside the host write window.
+        idx = jnp.clip(zg, 0, dg - 1) - z0
+        du = median3(jnp.take(du, idx, axis=-3), HaloCtx())
+    fl_new = fls + du
+    if p.flow_clamp > 0:
+        fl_new = jnp.clip(fl_new, -p.flow_clamp, p.flow_clamp)
+    return fl_new, new_carry
+
+
 @partial(jax.jit, static_argnames=("dg", "p"))
 def _ph_jacobi(dus, cs, gs, ws, swis, smts, z0, dg: int, p: FlowParams):
     ctx = _wctx(z0, dg)
@@ -179,6 +255,38 @@ def _stream_sor_trapezoid(du, c, g, wgt, swi, smt, p: FlowParams,
     return du
 
 
+def _stream_fused_warp_iteration(i0l, i1l, flow, p: FlowParams, chunk: int,
+                                 mw: int) -> np.ndarray:
+    """One whole warp iteration as a single streamed pass (see
+    _ph_fused_warp_iter): reads (i0, i1, flow) slabs, writes the new flow.
+    No g/it/terms/du host arrays exist at all — host RAM per level is just
+    the two image volumes plus flow in/out, and PCIe traffic per warp
+    iteration drops from ~48 to ~8 floats/voxel."""
+    d, h, w = i0l.shape
+    s2 = 2 * p.sweeps
+    size = chunk + s2 + 2 * mw
+    out = np.empty_like(flow)
+    carry = jnp.zeros((3, s2 + 2, h, w), jnp.float32)
+    n_launch = -(-d // chunk) + 1  # +1 drains the graded frontier band
+    for k in range(n_launch):
+        kbase = k * chunk
+        lo = kbase - chunk - mw
+        slabs = [jnp.asarray(_host_slab(x, lo, size))
+                 for x in (i0l, i1l, flow)]
+        fl_new, carry = _ph_fused_warp_iter(
+            *slabs, carry, jnp.int32(lo), jnp.int32(kbase),
+            dg=d, p=p, sweeps=p.sweeps, chunk=chunk)
+        if p.median:
+            w0 = max(kbase - chunk - 1, 0)
+            w1 = d if kbase >= d else kbase - 1
+        else:
+            w0 = max(kbase - chunk, 0)
+            w1 = min(kbase, d)
+        if w1 > w0:
+            out[:, w0:w1] = np.asarray(fl_new)[:, w0 - lo:w1 - lo]
+    return out
+
+
 def _stream(fn, inputs: list[np.ndarray], margin: int, chunk: int,
             outs: list[np.ndarray]):
     """Apply a slab phase over Z-chunks. fn(*slabs, z0) -> slab outputs of
@@ -224,10 +332,18 @@ def _stream_resample(x: np.ndarray, out_shape, sigma: float, chunk: int,
 
 
 def _solve_level_streamed(i0l, i1l, flow, p: FlowParams, chunk: int,
-                          temporal_block: bool = True):
+                          temporal_block: bool = True, fuse: bool = True):
     d, h, w = i0l.shape
     # Warp margin + derivative stencil radius (1 for 2-point, 2 for 5-point)
     mw = int(math.ceil(p.flow_clamp)) + 1 + p.deriv_order // 2
+    if (fuse and temporal_block and p.solver == "sor"
+            and p.inner_iterations == 1):
+        # Single nonlinear iteration: the whole warp iteration collapses
+        # into ONE streamed pass (warp+derivatives+terms+sweeps+median+
+        # accumulate fused on-device, du frontier band carried in HBM).
+        for _ in range(p.warps):
+            flow = _stream_fused_warp_iteration(i0l, i1l, flow, p, chunk, mw)
+        return flow
     for _ in range(p.warps):
         g = np.empty((3, d, h, w), np.float32)
         it = np.empty((d, h, w), np.float32)
@@ -239,8 +355,12 @@ def _solve_level_streamed(i0l, i1l, flow, p: FlowParams, chunk: int,
             wgt = np.empty((6, d, h, w), np.float32)
             swi = np.empty((d, h, w), np.float32)
             smt = np.empty((d, h, w), np.float32)
+            # Margin 2, not 1: the neighbor weight at an interior plane z
+            # reads psi_s[z+-1], which reads flow/du at z+-2. With margin
+            # 1 that outermost plane is slab-replicate contaminated and
+            # the streamed terms drift ~1e-3 from in-core at chunk seams.
             _stream(partial(_ph_terms, dg=d, p=p), [g, it, flow, du],
-                    1, chunk, [c, wgt, swi, smt])
+                    2, chunk, [c, wgt, swi, smt])
             if p.solver == "sor" and temporal_block:
                 # Wavefront: one chunk visit advances all 2*sweeps
                 # half-sweeps on-device (~sweeps x less host<->device
@@ -274,7 +394,8 @@ def _solve_level_streamed(i0l, i1l, flow, p: FlowParams, chunk: int,
 def compute_flow_piecewise(i0, i1, params: FlowParams = FlowParams(),
                            chunk_z: int = 32,
                            checkpoint_dir: str | None = None,
-                           temporal_block: bool = True) -> np.ndarray:
+                           temporal_block: bool = True,
+                           fuse: bool = True) -> np.ndarray:
     """Dense 3D optical flow for volumes that exceed device memory.
 
     i0, i1: (D, H, W) host arrays (any dtype). All pipeline state stays in
@@ -332,7 +453,8 @@ def compute_flow_piecewise(i0, i1, params: FlowParams = FlowParams(),
 
     for li in range(start, -1, -1):
         flow = _solve_level_streamed(pyr0[li], pyr1[li], flow, p, chunk_z,
-                                     temporal_block=temporal_block)
+                                     temporal_block=temporal_block,
+                                     fuse=fuse)
         if li > 0:
             in_shape = flow.shape[1:]
             ratios = [shapes[li - 1][a] / in_shape[a] for a in range(3)]

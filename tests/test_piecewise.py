@@ -113,6 +113,46 @@ def test_piecewise_deriv_order4_matches_incore():
     np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
+@pytest.mark.parametrize("shape,chunk,sweeps,median",
+                         [((22, 16, 16), 4, 3, True),
+                          ((16, 12, 12), 8, 6, True),
+                          ((9, 10, 10), 3, 2, False),
+                          ((24, 16, 16), 4, 8, True)])
+def test_fused_stream_matches_per_halfsweep(shape, chunk, sweeps, median):
+    """The fully-fused streamed warp iteration (warp+derivs+terms+sweeps+
+    median+accumulate in ONE launch per chunk, du frontier band carried
+    on-device) must match per-half-sweep streaming — including the
+    2*sweeps > chunk regime, partial chunks, and the global-face median
+    replicate. Tolerance is ulp-level, NOT bitwise: the fused program
+    recomputes warp/derivatives/terms inside one XLA fusion context, so
+    FMA contraction rounds ~1 ulp differently than the phase-streamed
+    terms. The wavefront frontier math itself IS gated bitwise by the
+    trapezoid tests below (same frontier logic, shared terms inputs);
+    a seam bug here would show as chunk-localized error far above 1e-6
+    (verified: the residual diff is uniform across Z, max ~2e-8)."""
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.4, -0.3, 0.8)),
+                              seed=11)
+    p = FlowParams(levels=2, warps=2, inner_iterations=1, sweeps=sweeps,
+                   median=median, flow_clamp=2.0)
+    a = compute_flow_piecewise(i0, i1, p, chunk_z=chunk, fuse=True)
+    b = compute_flow_piecewise(i0, i1, p, chunk_z=chunk,
+                               temporal_block=False, fuse=False)
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
+
+
+def test_fused_stream_deriv4():
+    """Fused pass with the 5-point derivative stencil (wider slab margin)."""
+    shape = (20, 14, 14)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.2, -0.4)),
+                              seed=13)
+    p = FlowParams(levels=1, warps=2, inner_iterations=1, sweeps=4,
+                   deriv_order=4, flow_clamp=1.5)
+    a = compute_flow_piecewise(i0, i1, p, chunk_z=5, fuse=True)
+    b = compute_flow_piecewise(i0, i1, p, chunk_z=5,
+                               temporal_block=False, fuse=False)
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
+
+
 @pytest.mark.parametrize("shape,chunk,sweeps",
                          [((22, 16, 16), 4, 3), ((16, 12, 12), 8, 6),
                           ((9, 10, 10), 3, 2)])
