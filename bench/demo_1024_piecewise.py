@@ -116,9 +116,12 @@ def main():
                          + os.pathsep + env.get("PYTHONPATH", ""))
     out_prefix = os.path.join(wd, "flow_")
     if args.config == "machinery":
+        run_p = {"levels": 3, "warps": 1, "sweeps": 4, "median": False}
         solve = ["--levels", "3", "--warps", "1", "--sweeps", "4",
                  "--alpha", "0.02", "--no-median"]
     else:
+        run_p = {"levels": args.levels, "warps": args.warps,
+                 "sweeps": args.sweeps, "median": True}
         solve = ["--levels", str(args.levels), "--warps", str(args.warps),
                  "--sweeps", str(args.sweeps), "--alpha", "0.02"]
     cmd = [sys.executable, "-m", "tpuflow3d.cli",
@@ -175,8 +178,7 @@ def main():
            "chunk_z": args.chunk_z, "gen_seconds": round(gen_s, 1),
            "solve_seconds": round(solve_s, 1),
            "voxels_per_s": round(voxels / solve_s, 1),
-           "params": {"levels": args.levels, "warps": args.warps,
-                      "inner_iterations": 1, "sweeps": args.sweeps,
+           "params": {**run_p, "inner_iterations": 1,
                       "penalizers": "quadratic", "alpha": 0.02},
            "central_slab_flow": errs}
     print(json.dumps(rec), flush=True)

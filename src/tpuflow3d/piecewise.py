@@ -261,13 +261,20 @@ def _stream_fused_warp_iteration(i0l, i1l, flow, p: FlowParams, chunk: int,
     _ph_fused_warp_iter): reads (i0, i1, flow) slabs, writes the new flow.
     No g/it/terms/du host arrays exist at all — host RAM per level is just
     the two image volumes plus flow in/out, and PCIe traffic per warp
-    iteration drops from ~48 to ~8 floats/voxel."""
+    iteration drops from ~48 to ~8 floats/voxel.
+
+    Software-pipelined depth 1: JAX dispatch is asynchronous, so launch
+    k's D2H drain is deferred until after launch k+1 is enqueued — slab
+    prep (host memcpy + H2D) for the next chunk overlaps the device
+    compute of the current one. Safe because each launch reads the
+    ORIGINAL `flow` and writes only the separate `out`."""
     d, h, w = i0l.shape
     s2 = 2 * p.sweeps
     size = chunk + s2 + 2 * mw
     out = np.empty_like(flow)
     carry = jnp.zeros((3, s2 + 2, h, w), jnp.float32)
     n_launch = -(-d // chunk) + 1  # +1 drains the graded frontier band
+    pending = None  # (device flow slab, write window w0:w1, slab origin)
     for k in range(n_launch):
         kbase = k * chunk
         lo = kbase - chunk - mw
@@ -282,8 +289,13 @@ def _stream_fused_warp_iteration(i0l, i1l, flow, p: FlowParams, chunk: int,
         else:
             w0 = max(kbase - chunk, 0)
             w1 = min(kbase, d)
-        if w1 > w0:
-            out[:, w0:w1] = np.asarray(fl_new)[:, w0 - lo:w1 - lo]
+        if pending is not None:
+            pf, pw0, pw1, plo = pending
+            out[:, pw0:pw1] = np.asarray(pf)[:, pw0 - plo:pw1 - plo]
+        pending = (fl_new, w0, w1, lo) if w1 > w0 else None
+    if pending is not None:
+        pf, pw0, pw1, plo = pending
+        out[:, pw0:pw1] = np.asarray(pf)[:, pw0 - plo:pw1 - plo]
     return out
 
 
