@@ -122,14 +122,25 @@ def _kernel(z0_ref, i1p_ref, flp_ref, i0p_ref, out_ref, i1s, fls, i0s, sems,
     ty = jnp.clip(ly + fl[1], 0.0, h - 1)
     tx = jnp.clip(lx + fl[2], 0.0, w - 1)
 
-    # Slab-relative integer offsets and fractions.
-    def split(t, l):
-        fl_ = jnp.floor(t)
-        return (fl_ - l).astype(jnp.int32), t - fl_
+    # Continuous slab-relative sample offsets, u = i + f in [-mc, mc+1].
+    # The per-term select coefficient (1-f)*(i==d) + f*(i==d-1) is exactly
+    # the tent max(0, 1 - |u - d|), so the 2mc+2 coefficient fields per
+    # axis are PRECOMPUTED once (3 ops each) instead of being rebuilt with
+    # compares+selects inside the (2mc+2)^2-term loop body: per term the
+    # gather drops from ~8 VPU ops (2 cmp + 2 mul + 1 add coefficient
+    # rebuild, then 2 mul + 1 add accumulate) to the 3-op accumulate —
+    # a ~2.4x static op-count cut. (Not wall-clock-verifiable here: the
+    # emulated device's kernel timings are load-regime-dependent.)
+    uz = tz - lz
+    uy = ty - ly
+    ux = tx - lx
 
-    iz, fz = split(tz, lz)   # iz in [-mc, mc]
-    iy, fy = split(ty, ly)
-    ix, fx = split(tx, lx)
+    def tent(u, dv):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(u - dv))
+
+    offs = list(range(-mc, mc + 2))
+    cys = [tent(uy, float(dy)) for dy in offs]
+    cxs = [tent(ux, float(dx)) for dx in offs]
 
     # Accumulate the select-interpolate as a loop over dz (a rolled loop so
     # Mosaic reuses VMEM temporaries — a fully unrolled (2mc+2)^3 body
@@ -140,17 +151,15 @@ def _kernel(z0_ref, i1p_ref, flp_ref, i0p_ref, out_ref, i1s, fls, i0s, sems,
 
     def z_body(dzi, acc):
         dz = dzi - mc
-        cz = (1.0 - fz) * (iz == dz) + fz * (iz == dz - 1)
+        cz = tent(uz, dz.astype(fz32))
         slab_z = i1s[pl.ds(p - 1 + dz, bz + 2)]  # (bz+2, SY1, LX1)
-        for dy in range(-mc, mc + 2):
-            cy = (1.0 - fy) * (iy == dy) + fy * (iy == dy - 1)
-            czy = cz * cy
+        for yi, dy in enumerate(offs):
+            czy = cz * cys[yi]
             y_lo = p - 1 + dy
-            for dx in range(-mc, mc + 2):
-                cx = (1.0 - fx) * (ix == dx) + fx * (ix == dx - 1)
+            for xi, dx in enumerate(offs):
                 x_lo = p - 1 + dx
                 sl = slab_z[:, y_lo:y_lo + by + 2, x_lo:x_lo + w + 2]
-                acc = acc + czy * (cx * sl)
+                acc = acc + czy * (cxs[xi] * sl)
         return acc
 
     acc = jax.lax.fori_loop(0, nterms, z_body, jnp.zeros(eshape, fz32))

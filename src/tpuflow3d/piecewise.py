@@ -167,27 +167,67 @@ def _ph_fused_warp_iter(i0s, i1s, fls, carry, z0, kbase, dg: int,
     window need image data within mw and flow within 2 — both covered.
     Returns (new flow slab, next carry = du[kbase + chunk - 2,
     kbase + chunk + 2S) at slab index chunk + mw - 2)."""
+    from tpuflow3d.backend import pallas_interpret, use_pallas
+    from tpuflow3d.median import median3_op
+
     ctx = _wctx(z0, dg)
-    i1w = warp_volume(i1s, fls, ctx, max_disp=p.flow_clamp)
-    g, it = derivatives(i0s, i1w, ctx, order=p.deriv_order)
+    pal = use_pallas(p)
+    # Same dispatch rules as pipeline._level_warp_loop: the fused Pallas
+    # warp+derivative kernel handles 2-point stencils at bounded clamp;
+    # sweeps use the flat Pallas kernel (the packed layout would add a
+    # pack/unpack round-trip per chunk visit, a bad trade on a streamed
+    # slab that is visited once).
+    from tpuflow3d.pallas.warp_grad import (PALLAS_WARP_MAX_CLAMP,
+                                            warp_grad_pallas)
+    if (pal and p.deriv_order == 2
+            and 0.0 < p.flow_clamp <= PALLAS_WARP_MAX_CLAMP):
+        g, it = warp_grad_pallas(i1s, fls, i0s, ctx, max_disp=p.flow_clamp,
+                                 interpret=pallas_interpret())
+    else:
+        i1w = warp_volume(i1s, fls, ctx, max_disp=p.flow_clamp)
+        g, it = derivatives(i0s, i1w, ctx, order=p.deriv_order)
     du0 = jnp.zeros_like(fls)
     t = compute_terms(g, it, fls, du0, p, ctx)
     s2 = 2 * sweeps
     size = fls.shape[-3]
     mw = (size - chunk - s2) // 2  # static slab margin (see host driver)
     du = du0.at[:, mw - 2:mw + s2].set(carry)
-    parity = parity_mask(du.shape[1:], ctx)
     zg = z0 + jnp.arange(size, dtype=jnp.int32)
 
-    def body(j, du):
+    if pal:
+        from tpuflow3d.pallas.sor import sor_halfsweep_pallas
+        interp = pallas_interpret()
+        plo, phi = ctx.z_halo_planes(t.psi_s)
+
+        def halfsweep(du, color):
+            lo, hi = ctx.z_halo_planes(du)
+            return sor_halfsweep_pallas(du, t.c, t.g, t.psi_s, t.psi_d,
+                                        lo, hi, plo, phi, ctx.z0(size),
+                                        p.alpha, p.omega, color, dg,
+                                        interpret=interp)
+    else:
+        parity = parity_mask(du.shape[1:], ctx)
+
+        def halfsweep(du, color):
+            return sor_halfsweep(du, t, p.omega, parity, color, ctx)
+
+    def one(du, j, color):
+        """Half-sweep j (1-based) with its wavefront frontier mask. color
+        is STATIC (the Pallas kernel requires it), so the loop runs per
+        full sweep with both colors unrolled."""
         hi = jnp.clip(kbase + s2 - j, 0, dg)
         lo = jnp.where(kbase > 0,
                        jnp.clip(kbase - chunk + s2 - j, 0, dg), 0)
-        du_new = sor_halfsweep(du, t, p.omega, parity, (j - 1) & 1, ctx)
+        du_new = halfsweep(du, color)
         m = ((zg >= lo) & (zg < hi)).reshape(1, size, 1, 1)
         return jnp.where(m, du_new, du)
 
-    du = jax.lax.fori_loop(1, s2 + 1, body, du)
+    def body(s, du):
+        j = 2 * s + 1
+        du = one(du, j, 0)
+        return one(du, j + 1, 1)
+
+    du = jax.lax.fori_loop(0, sweeps, body, du)
     new_carry = du[:, chunk + mw - 2:chunk + mw + s2]
     if p.median:
         # Restore the global-face replicate semantics of the in-core
@@ -195,7 +235,7 @@ def _ph_fused_warp_iter(i0s, i1s, fls, carry, z0, kbase, dg: int,
         # gather each plane's clamped-global twin first. Slab-edge
         # contamination is outside the host write window.
         idx = jnp.clip(zg, 0, dg - 1) - z0
-        du = median3(jnp.take(du, idx, axis=-3), HaloCtx())
+        du = median3_op(jnp.take(du, idx, axis=-3), HaloCtx(), p)
     fl_new = fls + du
     if p.flow_clamp > 0:
         fl_new = jnp.clip(fl_new, -p.flow_clamp, p.flow_clamp)

@@ -140,6 +140,24 @@ def test_fused_stream_matches_per_halfsweep(shape, chunk, sweeps, median):
     np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
 
 
+def test_fused_stream_pallas_backend():
+    """The fused streamed pass dispatches to the Pallas kernels (fused
+    warp+deriv, flat SOR half-sweep, median) exactly like the in-core
+    pipeline; interpret mode runs them on CPU. Gate: pallas == xla backend
+    through the full streamed solve (negative-z0 slabs, frontier masking,
+    clamped-twin median gather)."""
+    shape = (18, 16, 16)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.4, -0.3, 0.8)),
+                              seed=15)
+    base = dict(levels=2, warps=2, inner_iterations=1, sweeps=3,
+                flow_clamp=2.0)
+    a = compute_flow_piecewise(i0, i1, FlowParams(backend="pallas", **base),
+                               chunk_z=4, fuse=True)
+    b = compute_flow_piecewise(i0, i1, FlowParams(backend="xla", **base),
+                               chunk_z=4, fuse=True)
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
 def test_fused_stream_deriv4():
     """Fused pass with the 5-point derivative stencil (wider slab margin)."""
     shape = (20, 14, 14)
