@@ -308,15 +308,22 @@ def main() -> int:
         # artifact (can exceed 1, like r1's impossible 5.01). The headline
         # fraction is instead the hot kernel's measured/measured HBM
         # fraction — the number that IS the perf claim on real hardware.
-        vs_baseline = float(kern.get("sor_fraction", 0.0))
+        # None (JSON null), not 0.0, when that pass produced nothing:
+        # "measurement unavailable" must not read as "0% of roofline".
+        vs_baseline = kern.get("sor_fraction")
         vs_def = ("packed-SOR half-sweep measured HBM fraction "
                   "(end-to-end wall clock has no timing model on this "
-                  "emulated device; raw ratio in e2e_wall_fraction)")
+                  "emulated device; raw ratio in e2e_wall_fraction)"
+                  if vs_baseline is not None else
+                  "unavailable: kernel-fraction pass did not run (see "
+                  "stderr); e2e wall fraction is not meaningful on an "
+                  "emulated device")
     rec = {
         "metric": f"voxels_per_sec_{size}c",
         "value": round(vps, 1),
         "unit": "voxel/s",
-        "vs_baseline": round(vs_baseline, 4),
+        "vs_baseline": (round(vs_baseline, 4)
+                        if vs_baseline is not None else None),
         "vs_baseline_definition": vs_def,
         "e2e_wall_fraction": round(e2e_fraction, 4),
         "timing_model": model,

@@ -150,6 +150,10 @@ def _list_ops() -> int:
     for name, spec in OPS.items():
         print(f"{name:16s}  {spec.bytes_per_voxel:5.0f} B/vox  "
               f"halo: {spec.z_halo:42s}  ref: {spec.reference}")
+        if spec.byte_variants:
+            var = ", ".join(f"{k}: {v:.0f}"
+                            for k, v in spec.byte_variants.items())
+            print(f"{'':16s}  byte model by layout — {var}")
     return 0
 
 
@@ -191,6 +195,10 @@ def _run_distributed(args, params, log) -> int:
     """Multi-process entry: the reference's single main() covers its whole
     surface (SURVEY.md §5.1); this flag gives the multi-host path the same
     front door instead of requiring a hand-written worker script."""
+    if args.timings:
+        print("tpuflow3d: note: --timings is not supported with "
+              "--distributed (phase timers are per-process); ignoring",
+              file=sys.stderr)
     from tpuflow3d import distributed as dist
 
     dist.initialize(args.coordinator, args.num_processes, args.process_id)
@@ -247,7 +255,8 @@ def _solve_pair(args, params, i0, i1, log, timer, checkpoint_dir):
     if args.piecewise:
         from tpuflow3d.piecewise import compute_flow_piecewise
         flow = compute_flow_piecewise(i0, i1, params, chunk_z=args.chunk_z,
-                                      checkpoint_dir=checkpoint_dir)
+                                      checkpoint_dir=checkpoint_dir,
+                                      timer=timer)
         diag = {}
     elif args.sharded:
         from tpuflow3d.sharding import compute_flow_sharded, make_z_mesh
@@ -276,6 +285,25 @@ def _solve_pair(args, params, i0, i1, log, timer, checkpoint_dir):
     return np.asarray(flow), diag
 
 
+def _log_fit(log, i0, i1, flow, **extra):
+    """Registration-fit diagnostic (--report-fit): |warp(i1, flow) - i0|
+    vs the unwarped difference."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuflow3d.warp import warp_volume
+
+    @jax.jit
+    def fit(i0a, i1a, fl):
+        r = jnp.abs(warp_volume(i1a, fl) - i0a)
+        return jnp.mean(r), jnp.max(r), jnp.mean(jnp.abs(i1a - i0a))
+
+    mean_r, max_r, before = fit(jnp.asarray(i0), jnp.asarray(i1),
+                                jnp.asarray(flow))
+    log.log("fit", mean_residual=float(mean_r), max_residual=float(max_r),
+            mean_abs_diff_unwarped=float(before), **extra)
+
+
 def _run_sequence(args, params, log) -> int:
     """Time-series mode: consecutive-pair flows over N frames (the
     reference's 4D-tomography workflow is exactly this loop of per-pair
@@ -289,6 +317,12 @@ def _run_sequence(args, params, log) -> int:
     if args.timings:
         from tpuflow3d.utils.profiling import PhaseTimer
         timer = PhaseTimer()
+    import contextlib
+
+    from tpuflow3d.utils.profiling import xla_trace
+
+    stack = contextlib.ExitStack()
+    stack.enter_context(xla_trace(args.profile_dir))
     i0 = _load(args.frames[0], args.dims, args.dtype)
     for t, path in enumerate(args.frames[1:]):
         i1 = _load(path, args.dims, args.dtype)
@@ -298,16 +332,22 @@ def _run_sequence(args, params, log) -> int:
         ck = (f"{args.checkpoint_dir.rstrip('/')}/pair{t:04d}"
               if args.checkpoint_dir else None)
         t0 = time.perf_counter()
-        flow, _ = _solve_pair(args, params, i0, i1, log, timer, ck)
+        flow, diag = _solve_pair(args, params, i0, i1, log, timer, ck)
         dt = time.perf_counter() - t0
         prefix = f"{args.out}{t:04d}_"
         vio.write_flow(prefix, flow, magnitude=not args.no_magnitude)
         log.log("pair_done", t=t, frame0=args.frames[t], frame1=path,
                 seconds=dt, voxels_per_s=float(np.prod(i0.shape)) / dt,
                 prefix=prefix)
+        if params.track_residuals and "residuals" in diag:
+            log.log("residuals", t=t, summary=summarize_residuals(
+                np.asarray(diag["residuals"])))
+        if args.report_fit:
+            _log_fit(log, i0, i1, flow, t=t)
         print(f"tpuflow3d: pair {t} ({dt:.2f}s) -> {prefix}",
               file=sys.stderr)
         i0 = i1
+    stack.close()
     if timer is not None:
         log.log("timings", phases=timer.report())
     return 0
@@ -355,8 +395,9 @@ def _run(args) -> int:
     stack.close()
     dt = time.perf_counter() - t0
     if timer is not None:
-        log.log("timings", phases=timer.report())
-        for name, rec in timer.report().items():
+        report = timer.report()
+        log.log("timings", phases=report)
+        for name, rec in report.items():
             print(f"tpuflow3d: {name}: {rec['seconds']:.3f}s",
                   file=sys.stderr)
 
@@ -367,20 +408,7 @@ def _run(args) -> int:
                 summary=summarize_residuals(np.asarray(diag["residuals"])))
 
     if args.report_fit:
-        import jax
-        import jax.numpy as jnp
-
-        from tpuflow3d.warp import warp_volume
-
-        @jax.jit
-        def fit(i0a, i1a, fl):
-            r = jnp.abs(warp_volume(i1a, fl) - i0a)
-            return jnp.mean(r), jnp.max(r), jnp.mean(jnp.abs(i1a - i0a))
-
-        mean_r, max_r, before = fit(jnp.asarray(i0), jnp.asarray(i1),
-                                    jnp.asarray(flow))
-        log.log("fit", mean_residual=float(mean_r), max_residual=float(max_r),
-                mean_abs_diff_unwarped=float(before))
+        _log_fit(log, i0, i1, flow)
 
     vio.write_flow(args.out, flow, magnitude=not args.no_magnitude)
     log.log("written", prefix=args.out)

@@ -32,6 +32,11 @@ class OpSpec:
     bytes_per_voxel: float   # f32 read+write model for roofline fractions
     reference: str           # counterpart op in cuda-flow3d (SURVEY.md §4)
     doc: str = ""
+    # Layout-dependent byte models, when the executing kernel varies:
+    # bytes_per_voxel is the PRODUCTION layout's number; variants names the
+    # others so --list-ops doesn't overstate (e.g. solve runs packed only
+    # for even W >= 256 on real TPUs with a Pallas backend).
+    byte_variants: dict | None = None
 
 
 OPS: dict[str, OpSpec] = {}
@@ -93,22 +98,28 @@ _register(OpSpec(
     reference="derivative stencil kernels (part of solve pipeline)",
     doc="Spatiotemporal central-difference stencils on (I0 + warped I1)/2."))
 
-def _solve_bytes() -> float:
+def _solve_bytes(packed: bool) -> float:
     # Single source of truth with the bench roofline (utils/roofline.py):
     # the production color-packed Pallas kernel streams 36 B/voxel per
     # half-sweep (flat compact-terms: 56; XLA fallback: 80).
     from tpuflow3d.utils.roofline import SweepByteModel
-    return SweepByteModel(packed=True).per_half_sweep
+    return SweepByteModel(packed=packed).per_half_sweep
 
 
 _register(OpSpec(
     name="solve",
     fn=_solver.sor_halfsweep,
     z_halo="1 plane per half-sweep (ppermute each sweep)",
-    bytes_per_voxel=_solve_bytes(),
+    bytes_per_voxel=_solve_bytes(packed=True),
     reference="CudaOperationSolve3D",
     doc="Red-black SOR half-sweep on the coupled Euler-Lagrange system "
-        "(Sherman-Morrison pointwise solve; color-packed Pallas layout)."))
+        "(Sherman-Morrison pointwise solve). bytes_per_voxel is the "
+        "packed-layout production number; solver.solve_increment picks the "
+        "layout per level (packed needs even W, and W >= 256 on real "
+        "TPUs).",
+    byte_variants={"packed (even W >= 256, Pallas)": _solve_bytes(True),
+                   "flat (Pallas)": _solve_bytes(False),
+                   "xla": 80.0}))
 
 _register(OpSpec(
     name="median",

@@ -315,6 +315,12 @@ def _stream_fused_warp_iteration(i0l, i1l, flow, p: FlowParams, chunk: int,
     carry = jnp.zeros((3, s2 + 2, h, w), jnp.float32)
     n_launch = -(-d // chunk) + 1  # +1 drains the graded frontier band
     pending = None  # (device flow slab, write window w0:w1, slab origin)
+
+    def drain(pd):
+        if pd is not None:
+            pf, pw0, pw1, plo = pd
+            out[:, pw0:pw1] = np.asarray(pf)[:, pw0 - plo:pw1 - plo]
+
     for k in range(n_launch):
         kbase = k * chunk
         lo = kbase - chunk - mw
@@ -329,13 +335,9 @@ def _stream_fused_warp_iteration(i0l, i1l, flow, p: FlowParams, chunk: int,
         else:
             w0 = max(kbase - chunk, 0)
             w1 = min(kbase, d)
-        if pending is not None:
-            pf, pw0, pw1, plo = pending
-            out[:, pw0:pw1] = np.asarray(pf)[:, pw0 - plo:pw1 - plo]
+        drain(pending)
         pending = (fl_new, w0, w1, lo) if w1 > w0 else None
-    if pending is not None:
-        pf, pw0, pw1, plo = pending
-        out[:, pw0:pw1] = np.asarray(pf)[:, pw0 - plo:pw1 - plo]
+    drain(pending)
     return out
 
 
@@ -447,13 +449,22 @@ def compute_flow_piecewise(i0, i1, params: FlowParams = FlowParams(),
                            chunk_z: int = 32,
                            checkpoint_dir: str | None = None,
                            temporal_block: bool = True,
-                           fuse: bool = True) -> np.ndarray:
+                           fuse: bool = True, timer=None) -> np.ndarray:
     """Dense 3D optical flow for volumes that exceed device memory.
 
     i0, i1: (D, H, W) host arrays (any dtype). All pipeline state stays in
     host RAM; the device only ever sees (chunk_z + margins) slabs. Returns
-    (3, D, H, W) float32 host flow.
+    (3, D, H, W) float32 host flow. ``timer``: optional
+    utils.profiling.PhaseTimer — records presmooth/pyramid/per-level solve
+    and upsample wall times (CLI --timings).
     """
+    import contextlib
+
+    def phase(name):
+        if timer is None:
+            return contextlib.nullcontext()
+        return timer.phase(name)
+
     p = params
     if p.flow_clamp <= 0:
         p = p.replace(flow_clamp=DEFAULT_FLOW_CLAMP)
@@ -478,19 +489,23 @@ def compute_flow_piecewise(i0, i1, params: FlowParams = FlowParams(),
         i1 = (i1 - mn) * scale
 
     if p.presmooth_sigma > 0:
-        r = (len(gaussian_kernel1d(p.presmooth_sigma)) - 1) // 2
-        sm = partial(_ph_smooth, sigma=p.presmooth_sigma)
-        i0s = np.empty_like(i0)
-        i1s = np.empty_like(i1)
-        _stream(lambda s, z0: sm(s), [i0], r, chunk_z, [i0s])
-        _stream(lambda s, z0: sm(s), [i1], r, chunk_z, [i1s])
-        i0, i1 = i0s, i1s
+        with phase("presmooth"):
+            r = (len(gaussian_kernel1d(p.presmooth_sigma)) - 1) // 2
+            sm = partial(_ph_smooth, sigma=p.presmooth_sigma)
+            i0s = np.empty_like(i0)
+            i1s = np.empty_like(i1)
+            _stream(lambda s, z0: sm(s), [i0], r, chunk_z, [i0s])
+            _stream(lambda s, z0: sm(s), [i1], r, chunk_z, [i1s])
+            i0, i1 = i0s, i1s
 
     shapes = p.level_shapes(i0.shape)
     pyr0, pyr1 = [i0], [i1]
-    for shp in shapes[1:]:
-        pyr0.append(_stream_resample(pyr0[-1], shp, p.aa_sigma(), chunk_z))
-        pyr1.append(_stream_resample(pyr1[-1], shp, p.aa_sigma(), chunk_z))
+    with phase("pyramid"):
+        for shp in shapes[1:]:
+            pyr0.append(_stream_resample(pyr0[-1], shp, p.aa_sigma(),
+                                         chunk_z))
+            pyr1.append(_stream_resample(pyr1[-1], shp, p.aa_sigma(),
+                                         chunk_z))
 
     start = len(shapes) - 1
     flow = np.zeros((3, *shapes[-1]), np.float32)
@@ -504,15 +519,19 @@ def compute_flow_piecewise(i0, i1, params: FlowParams = FlowParams(),
                 flow, start = flow_np, level
 
     for li in range(start, -1, -1):
-        flow = _solve_level_streamed(pyr0[li], pyr1[li], flow, p, chunk_z,
-                                     temporal_block=temporal_block,
-                                     fuse=fuse)
+        with phase(f"level{li}_solve"):
+            flow = _solve_level_streamed(pyr0[li], pyr1[li], flow, p,
+                                         chunk_z,
+                                         temporal_block=temporal_block,
+                                         fuse=fuse)
         if li > 0:
-            in_shape = flow.shape[1:]
-            ratios = [shapes[li - 1][a] / in_shape[a] for a in range(3)]
-            flow = _stream_resample(flow, shapes[li - 1], 0.0, chunk_z,
-                                    ratios=ratios)
-            np.clip(flow, -p.flow_clamp, p.flow_clamp, out=flow)
+            with phase(f"level{li}_upsample"):
+                in_shape = flow.shape[1:]
+                ratios = [shapes[li - 1][a] / in_shape[a]
+                          for a in range(3)]
+                flow = _stream_resample(flow, shapes[li - 1], 0.0, chunk_z,
+                                        ratios=ratios)
+                np.clip(flow, -p.flow_clamp, p.flow_clamp, out=flow)
             if checkpoint_dir is not None:
                 from tpuflow3d import checkpoint as ckpt
                 ckpt.save_level_checkpoint(checkpoint_dir, flow, li - 1, p)

@@ -190,6 +190,20 @@ def _compute_flow_sharded_checkpointed(i0, i1, p: FlowParams, mesh: Mesh,
         mesh, (3, *shapes[-1]))
     state = (ckpt.peek_level_checkpoint(checkpoint_dir)
              if checkpoint_dir is not None else None)
+    if checkpoint_dir is not None and jax.process_count() > 1:
+        # Every process peeks its own filesystem view; if they disagree
+        # (non-shared checkpoint dir, or one host's files lost), processes
+        # would enter different level jits with mismatched collective
+        # sequences and deadlock. Require unanimity or start fresh on ALL.
+        from jax.experimental import multihost_utils
+        enc = np.asarray(tuple(state[0]) + (state[1],) if state is not None
+                         else (-1, -1, -1, -1), dtype=np.int64)
+        all_enc = np.asarray(multihost_utils.process_allgather(enc))
+        if not (all_enc == all_enc[0]).all():
+            print("tpuflow3d: checkpoint visibility/content differs across "
+                  "processes; starting fresh on all (resume needs a "
+                  "uniformly visible checkpoint directory)", file=sys.stderr)
+            state = None
     if state is not None:
         (d, h, w), level = state
         if 0 <= level < n_levels and (d, h, w) == shapes[level]:

@@ -82,8 +82,9 @@ def probe_timing_model(nbytes: int = 64 * 1024 * 1024):
     scale_ratio = t(16 iters)/t(1 iter) (~16 on real hardware, ~1 when
     emulated).
     """
-    if "probe" in _PROBE_CACHE:
-        return _PROBE_CACHE["probe"]
+    key = ("probe", nbytes)  # per-footprint cache: nbytes changes the result
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
     n = nbytes // 4
     t1 = _timed_axpy_loop(n, 1)
     t16 = _timed_axpy_loop(n, 16)
@@ -91,8 +92,8 @@ def probe_timing_model(nbytes: int = 64 * 1024 * 1024):
     model = "real" if ratio > 4.0 else "emulated"
     # Amortized rate from the 16-iter program; only meaningful when real.
     bw = 16 * 2.0 * 4.0 * n / t16
-    _PROBE_CACHE["probe"] = (model, bw, ratio)
-    return _PROBE_CACHE["probe"]
+    _PROBE_CACHE[key] = (model, bw, ratio)
+    return _PROBE_CACHE[key]
 
 
 def measure_hbm_bw(nbytes: int = 64 * 1024 * 1024) -> float:
