@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--report-fit", action="store_true",
                     help="log the data-term fit |I1(x+s) - I0| after the "
                          "solve (registration quality diagnostic)")
+    ap.add_argument("--stats", action="store_true",
+                    help="log min/max/mean/L2 of each input volume and of "
+                         "the flow magnitude (the reference's volume-info "
+                         "prints; ops registry 'statistics' op)")
     ap.add_argument("--log-json", default=None, help="JSONL log file path")
     ap.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace to this directory")
@@ -285,6 +289,20 @@ def _solve_pair(args, params, i0, i1, log, timer, checkpoint_dir):
     return np.asarray(flow), diag
 
 
+def _log_stats(log, arrays: dict, **extra):
+    """Volume statistics (--stats) via the ops-registry 'statistics' op —
+    the reference prints per-volume info at startup; here it is one JSONL
+    event per array."""
+    import jax
+
+    from tpuflow3d.ops import get_op
+
+    fn = jax.jit(get_op("statistics").fn)
+    for name, a in arrays.items():
+        s = {k: float(v) for k, v in fn(a).items()}
+        log.log("statistics", volume=name, **s, **extra)
+
+
 def _log_fit(log, i0, i1, flow, **extra):
     """Registration-fit diagnostic (--report-fit): |warp(i1, flow) - i0|
     vs the unwarped difference."""
@@ -344,6 +362,9 @@ def _run_sequence(args, params, log) -> int:
                 np.asarray(diag["residuals"])))
         if args.report_fit:
             _log_fit(log, i0, i1, flow, t=t)
+        if args.stats:
+            mag = np.sqrt(np.sum(np.square(flow, dtype=np.float64), axis=0))
+            _log_stats(log, {"flow_magnitude": mag.astype(np.float32)}, t=t)
         print(f"tpuflow3d: pair {t} ({dt:.2f}s) -> {prefix}",
               file=sys.stderr)
         i0 = i1
@@ -409,6 +430,10 @@ def _run(args) -> int:
 
     if args.report_fit:
         _log_fit(log, i0, i1, flow)
+    if args.stats:
+        mag = np.sqrt(np.sum(np.square(flow, dtype=np.float64), axis=0))
+        _log_stats(log, {"frame0": i0, "frame1": i1,
+                         "flow_magnitude": mag.astype(np.float32)})
 
     vio.write_flow(args.out, flow, magnitude=not args.no_magnitude)
     log.log("written", prefix=args.out)

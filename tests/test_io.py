@@ -215,6 +215,33 @@ def test_cli_timings(tmp_path, capsys):
     assert all(rec["seconds"] >= 0 for rec in phases.values())
 
 
+def test_cli_stats(tmp_path):
+    """--stats logs per-volume min/max/mean/L2 (the reference's volume-info
+    prints) via the ops-registry statistics op."""
+    import json as _json
+
+    from tpuflow3d import cli
+    from tpuflow3d import synthetic as syn
+
+    i0, i1, _ = syn.make_pair((16, 16, 16), syn.translation((0.0, 0.0, 1.0)))
+    f0, f1 = str(tmp_path / "a.raw"), str(tmp_path / "b.raw")
+    vio.write_raw(f0, i0)
+    vio.write_raw(f1, i1)
+    logf = str(tmp_path / "log.jsonl")
+    rc = cli.main(["--frame0", f0, "--frame1", f1,
+                   "--out", str(tmp_path / "flow_"),
+                   "--levels", "2", "--warps", "1", "--sweeps", "5",
+                   "--stats", "--log-json", logf])
+    assert rc == 0
+    events = [_json.loads(line) for line in open(logf)]
+    stats = {e["volume"]: e for e in events if e["event"] == "statistics"}
+    assert set(stats) == {"frame0", "frame1", "flow_magnitude"}
+    for e in stats.values():
+        assert {"min", "max", "mean", "l2"} <= set(e)
+    assert stats["frame0"]["max"] >= stats["frame0"]["min"]
+    assert stats["flow_magnitude"]["min"] >= 0.0
+
+
 def test_cli_list_ops(capsys):
     from tpuflow3d import cli
 
