@@ -140,6 +140,21 @@ def test_fused_stream_matches_per_halfsweep(shape, chunk, sweeps, median):
     np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
 
 
+@pytest.mark.parametrize("chunk", [1, 64])
+def test_fused_stream_extreme_chunks(chunk):
+    """Degenerate chunking: chunk_z=1 (one plane per launch, frontier band
+    much wider than the chunk) and chunk_z > D (single launch + drain)."""
+    shape = (10, 12, 12)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.3, -0.2, 0.5)),
+                              seed=17)
+    p = FlowParams(levels=1, warps=1, inner_iterations=1, sweeps=3,
+                   flow_clamp=1.5)
+    a = compute_flow_piecewise(i0, i1, p, chunk_z=chunk, fuse=True)
+    b = compute_flow_piecewise(i0, i1, p, chunk_z=chunk,
+                               temporal_block=False, fuse=False)
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
+
+
 def test_fused_stream_pallas_backend():
     """The fused streamed pass dispatches to the Pallas kernels (fused
     warp+deriv, flat SOR half-sweep, median) exactly like the in-core
