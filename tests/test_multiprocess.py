@@ -48,6 +48,37 @@ def test_two_process_distributed(tmp_path):
 
 
 @pytest.mark.slow
+def test_four_process_distributed(tmp_path):
+    """4-process gloo cluster (one CPU device each): the ppermute ring has
+    interior-only, top-face, and bottom-face shards simultaneously, and
+    the coarse level's 2-plane slabs exercise the thin-slab halo path
+    across real process boundaries."""
+    shape = (16, 12, 12)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 0.5)),
+                              seed=11)
+    vio.write_raw(str(tmp_path / "a.raw"), i0)
+    vio.write_raw(str(tmp_path / "b.raw"), i1)
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # 1 local CPU device per process
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(r), "4", "23671", str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for r in range(4)]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "ok" in out, out
+
+    p4 = FlowParams(levels=2, warps=1, inner_iterations=1, sweeps=5,
+                    alpha=0.05)
+    ref = np.asarray(compute_flow_sharded(i0, i1, p4, make_z_mesh(4)))
+    u = vio.read_raw(str(tmp_path / "mpflow_u.raw"),
+                     vio.VolumeMeta(shape, "float32"))
+    np.testing.assert_allclose(u, ref[2], atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_two_process_checkpoint_resume(tmp_path):
     """Distributed per-level checkpoint + slab-local resume on the real
     2-process gloo cluster (SURVEY.md §7 checkpoint item; the resume pass
