@@ -342,12 +342,30 @@ def _stream_fused_warp_iteration(i0l, i1l, flow, p: FlowParams, chunk: int,
 
 
 def _stream(fn, inputs: list[np.ndarray], margin: int, chunk: int,
-            outs: list[np.ndarray]):
+            outs: list[np.ndarray], pipeline: bool = False):
     """Apply a slab phase over Z-chunks. fn(*slabs, z0) -> slab outputs of
     the same Z extent; interiors are written into ``outs`` (which may alias
-    an input for colored half-sweeps)."""
+    an input for colored half-sweeps).
+
+    pipeline=True defers chunk k's D2H drain until chunk k+1 is enqueued
+    (async dispatch overlap, as in _stream_fused_warp_iteration). ONLY
+    legal when no output aliases an input: an in-place phase (SOR du) must
+    see chunk k's written planes when slicing chunk k+1's margin, so it
+    keeps the synchronous order."""
+    if pipeline:
+        assert not any(o is x for o in outs for x in inputs), \
+            "pipeline=True requires outputs disjoint from inputs"
     d = inputs[0].shape[-3]
     size = chunk + 2 * margin
+    pending = None  # (device results, z0, z1)
+
+    def drain(pd):
+        if pd is not None:
+            res, z0, z1 = pd
+            for o, r in zip(outs, res):
+                o[..., z0:z1, :, :] = np.asarray(r)[
+                    ..., margin:margin + z1 - z0, :, :]
+
     for z0 in range(0, d, chunk):
         z1 = min(z0 + chunk, d)
         lo = z0 - margin
@@ -355,9 +373,12 @@ def _stream(fn, inputs: list[np.ndarray], margin: int, chunk: int,
         res = fn(*slabs, jnp.int32(lo))
         if not isinstance(res, tuple):
             res = (res,)
-        for o, r in zip(outs, res):
-            o[..., z0:z1, :, :] = np.asarray(r)[..., margin:margin + z1 - z0,
-                                                :, :]
+        if pipeline:
+            drain(pending)
+            pending = (res, z0, z1)
+        else:
+            drain((res, z0, z1))
+    drain(pending)
     return outs
 
 
@@ -372,13 +393,22 @@ def _stream_resample(x: np.ndarray, out_shape, sigma: float, chunk: int,
     r = 0 if sigma <= 0 else (len(gaussian_kernel1d(sigma)) - 1) // 2
     win = int(math.ceil(chunk * scale)) + 2 * r + 4
     out = np.empty((*x.shape[:-3], dout, hout, wout), np.float32)
+    pending = None  # (device result, o0, o1); x is never written -> safe
+
+    def drain(pd):
+        if pd is not None:
+            ys, o0, o1 = pd
+            out[..., o0:o1, :, :] = np.asarray(ys)[..., :o1 - o0, :, :]
+
     for o0 in range(0, dout, chunk):
         o1 = min(o0 + chunk, dout)
         a = int(math.floor((o0 + 0.5) * scale - 0.5)) - 1 - r
         slab = jnp.asarray(_host_slab(x, a, win))
         ys = _ph_resample(slab, jnp.int32(o0), jnp.int32(a), sigma, chunk,
                           scale, din, (hout, wout))
-        out[..., o0:o1, :, :] = np.asarray(ys)[..., :o1 - o0, :, :]
+        drain(pending)
+        pending = (ys, o0, o1)
+    drain(pending)
     if ratios is not None:
         for c, rt in enumerate(ratios):
             out[c] *= np.float32(rt)
@@ -402,7 +432,7 @@ def _solve_level_streamed(i0l, i1l, flow, p: FlowParams, chunk: int,
         g = np.empty((3, d, h, w), np.float32)
         it = np.empty((d, h, w), np.float32)
         _stream(partial(_ph_warp_deriv, dg=d, p=p), [i0l, i1l, flow],
-                mw, chunk, [g, it])
+                mw, chunk, [g, it], pipeline=True)
         du = np.zeros((3, d, h, w), np.float32)
         for _k in range(p.inner_iterations):
             c = np.empty((3, d, h, w), np.float32)
@@ -414,7 +444,7 @@ def _solve_level_streamed(i0l, i1l, flow, p: FlowParams, chunk: int,
             # 1 that outermost plane is slab-replicate contaminated and
             # the streamed terms drift ~1e-3 from in-core at chunk seams.
             _stream(partial(_ph_terms, dg=d, p=p), [g, it, flow, du],
-                    2, chunk, [c, wgt, swi, smt])
+                    2, chunk, [c, wgt, swi, smt], pipeline=True)
             if p.solver == "sor" and temporal_block:
                 # Wavefront: one chunk visit advances all 2*sweeps
                 # half-sweeps on-device (~sweeps x less host<->device
@@ -433,11 +463,13 @@ def _solve_level_streamed(i0l, i1l, flow, p: FlowParams, chunk: int,
                 for _s in range(p.sweeps):
                     du_new = np.empty_like(du)
                     _stream(partial(_ph_jacobi, dg=d, p=p),
-                            [du, c, g, wgt, swi, smt], 1, chunk, [du_new])
+                            [du, c, g, wgt, swi, smt], 1, chunk, [du_new],
+                            pipeline=True)
                     du = du_new
         if p.median:
             du_m = np.empty_like(du)
-            _stream(lambda s, z0: _ph_median(s), [du], 1, chunk, [du_m])
+            _stream(lambda s, z0: _ph_median(s), [du], 1, chunk, [du_m],
+                    pipeline=True)
             du = du_m
         flow = flow + du
         if p.flow_clamp > 0:
@@ -494,8 +526,10 @@ def compute_flow_piecewise(i0, i1, params: FlowParams = FlowParams(),
             sm = partial(_ph_smooth, sigma=p.presmooth_sigma)
             i0s = np.empty_like(i0)
             i1s = np.empty_like(i1)
-            _stream(lambda s, z0: sm(s), [i0], r, chunk_z, [i0s])
-            _stream(lambda s, z0: sm(s), [i1], r, chunk_z, [i1s])
+            _stream(lambda s, z0: sm(s), [i0], r, chunk_z, [i0s],
+                    pipeline=True)
+            _stream(lambda s, z0: sm(s), [i1], r, chunk_z, [i1s],
+                    pipeline=True)
             i0, i1 = i0s, i1s
 
     shapes = p.level_shapes(i0.shape)
