@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                       ("residual_tol", float)]:
         ap.add_argument(f"--{name.replace('_', '-')}", type=typ, default=None,
                         dest=name)
+    ap.add_argument("--interp", choices=["trilinear", "tricubic"],
+                    default=None,
+                    help="warp sampling: trilinear (reference behavior) or "
+                         "tricubic Catmull-Rom (lower sub-voxel "
+                         "interpolation bias)")
     ap.add_argument("--penalizer-data", choices=["charbonnier", "quadratic"],
                     default=None, dest="penalizer_data")
     ap.add_argument("--penalizer-smooth", choices=["charbonnier", "quadratic"],
@@ -126,7 +131,7 @@ def params_from_args(args) -> FlowParams:
                  "inner_iterations", "sweeps", "omega", "presmooth_sigma",
                  "eps_data", "eps_smooth", "flow_clamp", "deriv_order",
                  "residual_tol", "penalizer_data",
-                 "penalizer_smooth", "solver"]:
+                 "penalizer_smooth", "solver", "interp"]:
         v = getattr(args, name, None)
         if v is not None:
             overrides[name] = v

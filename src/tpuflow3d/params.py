@@ -58,6 +58,12 @@ class FlowParams:
                                 # or 4 (5-pt, SURVEY.md §11 risk item 3);
                                 # smoothness-term gradients stay 2nd order
                                 # (consistent with the 6-neighbor stencil)
+    interp: str = "trilinear"   # warp sampling: 'trilinear' (reference
+                                # behavior, Pallas-fusable) or 'tricubic'
+                                # (Catmull-Rom; cuts the sub-voxel
+                                # interpolation bias that sets the converged
+                                # EPE floor on textured volumes — XLA gather
+                                # path, needs one extra halo plane)
 
     # --- post-processing ---
     median: bool = True         # 3x3x3 median filter on flow increments
@@ -98,6 +104,8 @@ class FlowParams:
             raise ValueError("sweep_layout must be 'packed' or 'flat'")
         if self.deriv_order not in (2, 4):
             raise ValueError("deriv_order must be 2 or 4")
+        if self.interp not in ("trilinear", "tricubic"):
+            raise ValueError("interp must be 'trilinear' or 'tricubic'")
 
     # ---- derived quantities (all static) ----
 

@@ -88,7 +88,7 @@ def _wctx(z0, dg: int) -> HaloCtx:
 @partial(jax.jit, static_argnames=("dg", "p"))
 def _ph_warp_deriv(i0s, i1s, fls, z0, dg: int, p: FlowParams):
     ctx = _wctx(z0, dg)
-    i1w = warp_volume(i1s, fls, ctx, max_disp=p.flow_clamp)
+    i1w = warp_volume(i1s, fls, ctx, max_disp=p.flow_clamp, interp=p.interp)
     g, it = derivatives(i0s, i1w, ctx, order=p.deriv_order)
     return g, it
 
@@ -179,12 +179,13 @@ def _ph_fused_warp_iter(i0s, i1s, fls, carry, z0, kbase, dg: int,
     # slab that is visited once).
     from tpuflow3d.pallas.warp_grad import (PALLAS_WARP_MAX_CLAMP,
                                             warp_grad_pallas)
-    if (pal and p.deriv_order == 2
+    if (pal and p.deriv_order == 2 and p.interp == "trilinear"
             and 0.0 < p.flow_clamp <= PALLAS_WARP_MAX_CLAMP):
         g, it = warp_grad_pallas(i1s, fls, i0s, ctx, max_disp=p.flow_clamp,
                                  interpret=pallas_interpret())
     else:
-        i1w = warp_volume(i1s, fls, ctx, max_disp=p.flow_clamp)
+        i1w = warp_volume(i1s, fls, ctx, max_disp=p.flow_clamp,
+                          interp=p.interp)
         g, it = derivatives(i0s, i1w, ctx, order=p.deriv_order)
     du0 = jnp.zeros_like(fls)
     t = compute_terms(g, it, fls, du0, p, ctx)
@@ -418,8 +419,10 @@ def _stream_resample(x: np.ndarray, out_shape, sigma: float, chunk: int,
 def _solve_level_streamed(i0l, i1l, flow, p: FlowParams, chunk: int,
                           temporal_block: bool = True, fuse: bool = True):
     d, h, w = i0l.shape
-    # Warp margin + derivative stencil radius (1 for 2-point, 2 for 5-point)
-    mw = int(math.ceil(p.flow_clamp)) + 1 + p.deriv_order // 2
+    # Warp margin (+1 tap for tricubic) + derivative stencil radius
+    # (1 for 2-point, 2 for 5-point)
+    mw = (int(math.ceil(p.flow_clamp)) + 1
+          + (1 if p.interp == "tricubic" else 0) + p.deriv_order // 2)
     if (fuse and temporal_block and p.solver == "sor"
             and p.inner_iterations == 1):
         # Single nonlinear iteration: the whole warp iteration collapses

@@ -45,9 +45,11 @@ def solve_level(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx,
     from tpuflow3d.backend import pallas_interpret, use_pallas
     from tpuflow3d.pallas.warp_grad import (PALLAS_WARP_MAX_CLAMP,
                                             warp_grad_pallas)
-    # The fused kernel computes 2-point derivatives in-VMEM; 4th-order
-    # stencils take the XLA warp + derivative path.
+    # The fused kernel computes 2-point derivatives in-VMEM and samples
+    # trilinearly; 4th-order stencils and tricubic warps take the XLA
+    # warp + derivative path.
     fused_warp = (use_pallas(p) and p.deriv_order == 2
+                  and p.interp == "trilinear"
                   and 0.0 < p.flow_clamp <= PALLAS_WARP_MAX_CLAMP)
 
     def warp_body(wi, carry):
@@ -57,7 +59,8 @@ def solve_level(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx,
                                      max_disp=p.flow_clamp,
                                      interpret=pallas_interpret())
         else:
-            i1w = warp_volume(i1l, flow, ctx, max_disp=p.flow_clamp)
+            i1w = warp_volume(i1l, flow, ctx, max_disp=p.flow_clamp,
+                              interp=p.interp)
             g, it = derivatives(i0l, i1w, ctx, order=p.deriv_order)
         slot = res[wi] if track else None
         du, slot_out = solve_increment(g, it, flow, p, ctx, parity, slot)

@@ -173,6 +173,10 @@ def epe(flow_est, flow_true, mask=None) -> float:
     true = np.asarray(flow_true, np.float64)
     err = np.sqrt(((est - true) ** 2).sum(axis=0))
     if mask is not None:
+        if not np.any(mask):
+            raise ValueError("epe: empty mask (a nan mean here silently "
+                             "poisons accuracy reports — check the "
+                             "interior/gradient mask construction)")
         return float(err[mask].mean())
     return float(err.mean())
 
@@ -185,7 +189,12 @@ def gradient_mask(i0: np.ndarray, quantile: float = 0.5) -> np.ndarray:
     return mag > np.quantile(mag, quantile)
 
 
-def interior_mask(shape, border: int = 4) -> np.ndarray:
+def interior_mask(shape, border=4) -> np.ndarray:
+    """True away from the volume faces. border: int or per-axis (bz, by,
+    bx) — pass 0 for an axis that is already a thin slab (a z-border on a
+    4-plane slab would leave no interior at all)."""
+    bz, by, bx = (border,) * 3 if np.isscalar(border) else border
     m = np.zeros(shape, bool)
-    m[border:-border, border:-border, border:-border] = True
+    m[bz or None:-bz or None, by or None:-by or None,
+      bx or None:-bx or None] = True
     return m

@@ -17,13 +17,16 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpuflow3d.grid import HaloCtx
 
 
-def warp_halo(max_disp: float) -> int:
-    """Z halo planes needed to warp with |s_z| <= max_disp."""
-    return int(math.ceil(max_disp)) + 1
+def warp_halo(max_disp: float, interp: str = "trilinear") -> int:
+    """Z halo planes needed to warp with |s_z| <= max_disp: the farthest
+    integer tap is ceil(|s|)+1 for the trilinear cell, one more for the
+    cubic kernel's outer taps."""
+    return int(math.ceil(max_disp)) + 1 + (1 if interp == "tricubic" else 0)
 
 
 def _trilinear_gather(vol: jax.Array, cz, cy, cx) -> jax.Array:
@@ -62,8 +65,81 @@ def _trilinear_gather(vol: jax.Array, cz, cy, cx) -> jax.Array:
     return c0 * (1 - fz) + c1 * fz
 
 
+# Volume size (bytes) above which the tricubic gather rolls its tap loop
+# (module constant so tests can exercise the rolled path at small sizes).
+_TRICUBIC_ROLL_BYTES = 128 << 20
+
+
+def _cubic_weights(f):
+    """Catmull-Rom weights for taps (-1, 0, +1, +2) at fraction f in [0,1).
+    Interpolating (exact at integer coords), C^1, 4-point support — the
+    standard high-quality resampling kernel; reduces the O(f(1-f)) local
+    averaging bias of linear interpolation to a 3rd-order error."""
+    f2 = f * f
+    f3 = f2 * f
+    return (0.5 * (-f3 + 2.0 * f2 - f),
+            0.5 * (3.0 * f3 - 5.0 * f2 + 2.0),
+            0.5 * (-3.0 * f3 + 4.0 * f2 + f),
+            0.5 * (f3 - f2))
+
+
+def _tricubic_gather(vol: jax.Array, cz, cy, cx) -> jax.Array:
+    """Tricubic (separable Catmull-Rom) sample of vol (D,H,W) at real
+    coords; coords must already be within [0, dim-1]. Out-of-range taps
+    clamp to the boundary (consistent with the trilinear path's
+    clamp-to-edge sampling)."""
+    d, h, w = vol.shape[-3:]
+    z0 = jnp.floor(cz)
+    y0 = jnp.floor(cy)
+    x0 = jnp.floor(cx)
+    wz = _cubic_weights(cz - z0)
+    wy = _cubic_weights(cy - y0)
+    wx = _cubic_weights(cx - x0)
+    z0 = z0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    out_shape = jnp.broadcast_shapes(cz.shape, cy.shape, cx.shape)
+    acc = jnp.zeros(out_shape, vol.dtype)
+    big = int(np.prod(out_shape)) * 4 >= _TRICUBIC_ROLL_BYTES
+
+    def z_group(iz_val, acc, wz_val):
+        zi = jnp.clip(z0 + (iz_val - 1), 0, d - 1)
+        pz = jnp.zeros(out_shape, vol.dtype)
+        for iy in range(4):
+            yi = jnp.clip(y0 + (iy - 1), 0, h - 1)
+            for ix in range(4):
+                xi = jnp.clip(x0 + (ix - 1), 0, w - 1)
+                pz = pz + wy[iy] * (wx[ix] * vol[zi, yi, xi])
+        return acc + wz_val * pz
+
+    if big:
+        # Large volumes: a rolled loop over the 16 (z,y) tap pairs so XLA
+        # reuses the gather/index temporaries — 64 concurrent full-volume
+        # gather buffers exceed single-chip HBM at 256^3+ (same concern as
+        # solver.compute_terms' sequentialized 6-direction accumulation).
+        wz_s = jnp.stack(wz)
+        wy_s = jnp.stack(wy)
+
+        def pair_step(i, a):
+            iz, iy = i // 4, i % 4
+            zi = jnp.clip(z0 + (iz - 1), 0, d - 1)
+            yi = jnp.clip(y0 + (iy - 1), 0, h - 1)
+            py = jnp.zeros(out_shape, vol.dtype)
+            for ix in range(4):
+                xi = jnp.clip(x0 + (ix - 1), 0, w - 1)
+                py = py + wx[ix] * vol[zi, yi, xi]
+            return a + (wz_s[iz] * wy_s[iy]) * py
+
+        acc = jax.lax.fori_loop(0, 16, pair_step, acc)
+    else:
+        for iz in range(4):
+            acc = z_group(iz, acc, wz[iz])
+    return acc
+
+
 def warp_volume(i1: jax.Array, flow: jax.Array, ctx: HaloCtx = HaloCtx(),
-                max_disp: float = 0.0) -> jax.Array:
+                max_disp: float = 0.0,
+                interp: str = "trilinear") -> jax.Array:
     """Backward-warp the (local slab of the) moving volume by ``flow``.
 
     i1: (D, H, W) local slab; flow: (3, D, H, W) local flow (z, y, x
@@ -86,14 +162,16 @@ def warp_volume(i1: jax.Array, flow: jax.Array, ctx: HaloCtx = HaloCtx(),
                       0, d_local - 1)
         cy = jnp.clip(yi + flow[1], 0.0, h - 1)
         cx = jnp.clip(xi + flow[2], 0.0, w - 1)
-        return _trilinear_gather(vol, cz, cy, cx)
+        gather = (_tricubic_gather if interp == "tricubic"
+                  else _trilinear_gather)
+        return gather(vol, cz, cy, cx)
     if ctx.axis_name is None or ctx.n_shards == 1:
         nh = 0
         vol = i1
         z0 = 0
     else:
         assert max_disp > 0.0, "sharded warp requires a flow clamp"
-        nh = warp_halo(max_disp)
+        nh = warp_halo(max_disp, interp)
         vol = ctx.zpad(i1, nh)
         z0 = ctx.z0(d_local)
 
@@ -105,4 +183,6 @@ def warp_volume(i1: jax.Array, flow: jax.Array, ctx: HaloCtx = HaloCtx(),
     cz = jnp.clip(zi + flow[0], 0.0 - z0, (d_global - 1) - z0) + nh
     cy = jnp.clip(yi + flow[1], 0.0, h - 1)
     cx = jnp.clip(xi + flow[2], 0.0, w - 1)
-    return _trilinear_gather(vol, cz, cy, cx)
+    gather = (_tricubic_gather if interp == "tricubic"
+              else _trilinear_gather)
+    return gather(vol, cz, cy, cx)

@@ -201,3 +201,29 @@ def test_trapezoid_exact_vs_per_halfsweep(shape, chunk, sweeps):
     b = compute_flow_piecewise(i0, i1, p, chunk_z=chunk,
                                temporal_block=False)
     np.testing.assert_array_equal(a, b)
+
+
+def test_fused_stream_tricubic_matches_per_halfsweep():
+    """interp='tricubic' through the fused streamed path (wider slab
+    margin, XLA warp inside the fused launch)."""
+    shape = (20, 14, 14)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.2, -0.4)),
+                              seed=23)
+    p = FlowParams(levels=1, warps=2, inner_iterations=1, sweeps=4,
+                   interp="tricubic", flow_clamp=1.5)
+    a = compute_flow_piecewise(i0, i1, p, chunk_z=5, fuse=True)
+    b = compute_flow_piecewise(i0, i1, p, chunk_z=5,
+                               temporal_block=False, fuse=False)
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
+
+
+def test_piecewise_tricubic_matches_incore():
+    shape = (18, 14, 14)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.4, -0.2, 0.6)),
+                              seed=24)
+    p = FlowParams(levels=2, warps=1, inner_iterations=1, sweeps=4,
+                   interp="tricubic", flow_clamp=1.5, z_multiple=1)
+    from tpuflow3d.pipeline import compute_flow as cf
+    ref = np.asarray(cf(i0, i1, p))
+    got = compute_flow_piecewise(i0, i1, p, chunk_z=6)
+    np.testing.assert_allclose(got, ref, atol=1e-6)

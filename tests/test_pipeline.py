@@ -178,3 +178,21 @@ def test_deriv_order4_sharded_matches_unsharded():
     ref = np.asarray(compute_flow(i0, i1, p_sharded))
     got = np.asarray(compute_flow_sharded(i0, i1, p, mesh=make_z_mesh(4)))
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_tricubic_interp_improves_subvoxel_epe():
+    """interp='tricubic' must beat trilinear on a sub-voxel translation:
+    the converged EPE floor on textured volumes is set by warp
+    interpolation bias (VALIDATION.md 256^3 study), which Catmull-Rom
+    reduces by two orders in smoothness."""
+    shape = (48, 48, 48)
+    i0, i1, true = syn.make_pair(shape, syn.translation((0.5, -0.25, 0.75)),
+                                 texture="fourier", seed=21)
+    kw = dict(levels=2, warps=4, inner_iterations=2, sweeps=15, alpha=0.05)
+    mask = syn.interior_mask(shape, 4)
+    f_lin = np.asarray(compute_flow(i0, i1, FlowParams(**kw)))
+    f_cub = np.asarray(compute_flow(i0, i1,
+                                    FlowParams(interp="tricubic", **kw)))
+    e_lin = syn.epe(f_lin, true, mask)
+    e_cub = syn.epe(f_cub, true, mask)
+    assert e_cub < 0.7 * e_lin, (e_cub, e_lin)

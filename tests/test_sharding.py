@@ -245,3 +245,18 @@ def test_sharded_pipeline_pallas_backend_matches_unsharded():
     ref = np.asarray(compute_flow(i0, i1, p_sharded))
     got = np.asarray(compute_flow_sharded(i0, i1, p, mesh=_mesh(n)))
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_sharded_tricubic_matches_unsharded():
+    """interp='tricubic' needs one extra warp halo plane; the sharded run
+    must still match unsharded."""
+    shape = (48, 16, 16)
+    n = 4
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.8, 0.0, 0.6)),
+                              seed=22)
+    p = FlowParams(levels=2, warps=2, inner_iterations=1, sweeps=6,
+                   alpha=0.05, interp="tricubic")
+    p_sharded = prepare_params(p, n)
+    ref = np.asarray(compute_flow(i0, i1, p_sharded))
+    got = np.asarray(compute_flow_sharded(i0, i1, p, mesh=_mesh(n)))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
