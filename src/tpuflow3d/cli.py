@@ -91,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--piecewise", action="store_true",
                     help="out-of-core: stream Z-chunks through one device "
                          "(for volumes larger than device memory)")
+    ap.add_argument("--incore", action="store_true",
+                    help="pin the single-device in-core path (disables the "
+                         "automatic memory-based path selection)")
     ap.add_argument("--chunk-z", type=int, default=64,
                     help="Z-chunk planes for --piecewise")
     ap.add_argument("--checkpoint-dir", default=None,
@@ -194,10 +197,48 @@ def _check_path_flags(args) -> None:
     to fall through to the UNSHARDED checkpointed path)."""
     modes = [name for name, on in [("--piecewise", args.piecewise),
                                    ("--sharded", args.sharded),
-                                   ("--distributed", args.distributed)]
+                                   ("--distributed", args.distributed),
+                                   ("--incore", args.incore)]
              if on]
     if len(modes) > 1:
         raise ValueError(f"{' and '.join(modes)} are mutually exclusive")
+
+
+def _auto_mode(args, shape, params, log) -> None:
+    """Memory-based execution-path selection — the reference's main() picks
+    entire-data vs piecewise by free GPU memory (SURVEY.md §5.1); this is
+    the same decision against the in-core peak-HBM model. Explicit mode
+    flags (--incore/--piecewise/--sharded/--distributed) pin the path."""
+    if args.incore or args.piecewise or args.sharded or args.distributed:
+        return
+    from tpuflow3d.utils import memory as mem
+
+    budget = mem.device_budget_bytes()
+    if budget is None:  # CPU backend: in-core IS host memory
+        return
+    need = mem.incore_peak_bytes(shape, params)
+    if need <= budget:
+        return
+    import jax
+
+    n = len(jax.local_devices())
+    if n > 1 and need <= budget * n:
+        args.sharded = True
+        mode = f"sharded over {n} devices"
+    else:
+        args.piecewise = True
+        mode = f"piecewise (chunk_z={args.chunk_z})"
+    log.log("auto_mode", selected="sharded" if args.sharded else "piecewise",
+            need_bytes=need, device_budget_bytes=budget, devices=n)
+
+    def gib(b):
+        return (f"{b / 2**30:.1f} GiB" if b >= 2**29
+                else f"{b / 2**20:.1f} MiB")
+
+    print(f"tpuflow3d: note: in-core peak ~{gib(need)} exceeds device "
+          f"memory ~{gib(budget)}; selected {mode} "
+          "(pin a path with --incore/--piecewise/--sharded)",
+          file=sys.stderr)
 
 
 def _run_distributed(args, params, log) -> int:
@@ -347,6 +388,7 @@ def _run_sequence(args, params, log) -> int:
     stack = contextlib.ExitStack()
     stack.enter_context(xla_trace(args.profile_dir))
     i0 = _load(args.frames[0], args.dims, args.dtype)
+    _auto_mode(args, i0.shape, params, log)
     for t, path in enumerate(args.frames[1:]):
         i1 = _load(path, args.dims, args.dtype)
         if i0.shape != i1.shape:
@@ -403,6 +445,7 @@ def _run(args) -> int:
         print(f"frame shapes differ: {i0.shape} vs {i1.shape}",
               file=sys.stderr)
         return 2
+    _auto_mode(args, i0.shape, params, log)
 
     import contextlib
 

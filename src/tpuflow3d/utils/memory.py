@@ -1,0 +1,71 @@
+"""Device-memory footprint model and budget probe.
+
+The reference's ``main()`` picks the entire-data vs piecewise execution
+path by free GPU memory (cuda-flow3d ``src/main.cpp``, SURVEY.md §5.1).
+This module provides the TPU-side analog: a peak-HBM model of the in-core
+pipeline plus a per-device budget, consumed by the CLI's automatic path
+selection (cli._auto_mode).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+# Live f32 fields per finest-level voxel in the in-core pipeline
+# (pipeline.compute_flow_impl at the finest level): flow(3) + du(3) +
+# SolveTerms c(3)/g(3)/sw/smt/psi_s/psi_d (solver.SolveTerms) + warped
+# volume + It transient. The two input pyramids are counted separately
+# (all levels stay resident).
+_FIELDS_PER_VOXEL = 3 + 3 + 10 + 2
+
+# XLA scheduling slack: concurrent temporaries beyond the live-field model
+# (fusion keeps this small; 512^3 at 85 B/voxel model + 15% fits the
+# demonstrated single-chip run).
+_SLACK = 1.15
+
+
+def incore_peak_bytes(shape, p) -> int:
+    """Model of peak device bytes for the in-core path on a (D, H, W)
+    volume with FlowParams ``p`` (dominated by the finest level)."""
+    shapes = p.level_shapes(tuple(shape))
+    itemsize = np.dtype(p.dtype).itemsize
+    pyramids = 2 * sum(int(np.prod(s)) for s in shapes)
+    finest = int(np.prod(shapes[0]))
+    return int((pyramids + _FIELDS_PER_VOXEL * finest) * itemsize * _SLACK)
+
+
+# Fallbacks when the runtime exposes no memory_stats (keyed on substrings
+# of jax's device_kind). Spec HBM per chip.
+_KIND_BYTES = [
+    ("v5 lite", 16 << 30), ("v5litepod", 16 << 30), ("v5e", 16 << 30),
+    ("v4", 32 << 30), ("v5p", 95 << 30), ("v6", 32 << 30),
+]
+
+
+def device_budget_bytes(device=None):
+    """Usable bytes on one accelerator, or None when the question is moot
+    (CPU backend: 'device memory' is host memory, the thing the piecewise
+    path exists to stream *from*). Env TPUFLOW_DEVICE_BYTES overrides —
+    also the test hook for exercising auto selection off-TPU."""
+    env = os.environ.get("TPUFLOW_DEVICE_BYTES")
+    if env:
+        return int(env)
+    import jax
+
+    dev = device or jax.local_devices()[0]
+    if dev.platform == "cpu":
+        return None
+    stats = None
+    try:
+        stats = dev.memory_stats()
+    except Exception:
+        pass
+    if stats and stats.get("bytes_limit"):
+        return int(stats["bytes_limit"])
+    kind = getattr(dev, "device_kind", "").lower()
+    for key, nbytes in _KIND_BYTES:
+        if key in kind:
+            return nbytes
+    return 16 << 30  # conservative default for an unknown accelerator

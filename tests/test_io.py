@@ -287,3 +287,87 @@ def test_cli_sequence_flag_conflicts(tmp_path):
 
     assert cli.main(["--frames", "a.raw"]) == 2  # fewer than 2 frames -> err
     assert cli.main(["--frames", "a.raw", "b.raw", "--frame0", "x.raw"]) == 2
+
+
+# ---- automatic path selection (reference: entire-vs-piecewise by free
+# GPU memory, SURVEY.md §5.1) ----
+
+def _auto_mode_pair(tmp_path):
+    from tpuflow3d import synthetic as syn
+    i0, i1, _ = syn.make_pair((24, 16, 16), syn.translation((0.0, 0.0, 1.0)))
+    f0, f1 = str(tmp_path / "a.raw"), str(tmp_path / "b.raw")
+    vio.write_raw(f0, i0)
+    vio.write_raw(f1, i1)
+    return f0, f1
+
+
+def _auto_mode_events(logf):
+    import json
+    with open(logf) as f:
+        return [ev for ev in map(json.loads, f) if ev["event"] == "auto_mode"]
+
+
+def test_incore_peak_bytes_model():
+    from tpuflow3d.params import FlowParams
+    from tpuflow3d.utils import memory as mem
+    p = FlowParams(levels=3)
+    small = mem.incore_peak_bytes((64, 64, 64), p)
+    big = mem.incore_peak_bytes((128, 128, 128), p)
+    assert 0 < small < big
+    # dominated by ~18 live f32 fields + 2 pyramids at the finest level
+    assert 70 * 128 ** 3 < big < 130 * 128 ** 3
+
+
+def test_cli_auto_mode_selects_piecewise(tmp_path, monkeypatch):
+    """A volume whose in-core peak exceeds every device budget must fall
+    through to the out-of-core path, like the reference's memory check."""
+    from tpuflow3d import cli
+    f0, f1 = _auto_mode_pair(tmp_path)
+    logf = str(tmp_path / "log.jsonl")
+    monkeypatch.setenv("TPUFLOW_DEVICE_BYTES", "1000")  # ~1 KB "device"
+    rc = cli.main(["--frame0", f0, "--frame1", f1,
+                   "--out", str(tmp_path / "flow_"), "--levels", "2",
+                   "--warps", "2", "--sweeps", "10", "--log-json", logf])
+    assert rc == 0
+    ev = _auto_mode_events(logf)
+    assert ev and ev[0]["selected"] == "piecewise"
+    u = vio.read_raw(str(tmp_path / "flow_u.raw"))
+    assert abs(np.median(u[6:-6, 4:-4, 4:-4]) - 1.0) < 0.3
+
+
+def test_cli_auto_mode_selects_sharded(tmp_path, monkeypatch):
+    """When one device is too small but the local fleet fits, auto mode
+    Z-shards instead of streaming."""
+    import jax
+
+    from tpuflow3d import cli
+    from tpuflow3d.params import FlowParams
+    from tpuflow3d.utils import memory as mem
+    if len(jax.local_devices()) < 2:
+        import pytest
+        pytest.skip("needs a multi-device fleet")
+    f0, f1 = _auto_mode_pair(tmp_path)
+    need = mem.incore_peak_bytes((24, 16, 16), FlowParams(levels=2))
+    logf = str(tmp_path / "log.jsonl")
+    monkeypatch.setenv("TPUFLOW_DEVICE_BYTES", str(int(need * 0.7)))
+    rc = cli.main(["--frame0", f0, "--frame1", f1,
+                   "--out", str(tmp_path / "flow_"), "--levels", "2",
+                   "--warps", "1", "--sweeps", "4", "--log-json", logf])
+    assert rc == 0
+    ev = _auto_mode_events(logf)
+    assert ev and ev[0]["selected"] == "sharded"
+
+
+def test_cli_incore_pins_path(tmp_path, monkeypatch):
+    from tpuflow3d import cli
+    f0, f1 = _auto_mode_pair(tmp_path)
+    logf = str(tmp_path / "log.jsonl")
+    monkeypatch.setenv("TPUFLOW_DEVICE_BYTES", "1000")
+    rc = cli.main(["--frame0", f0, "--frame1", f1, "--incore",
+                   "--out", str(tmp_path / "flow_"), "--levels", "2",
+                   "--warps", "1", "--sweeps", "4", "--log-json", logf])
+    assert rc == 0
+    assert not _auto_mode_events(logf)
+    rc = cli.main(["--frame0", f0, "--frame1", f1, "--incore", "--piecewise",
+                   "--out", str(tmp_path / "flow_")])
+    assert rc == 2  # mutually exclusive pins
