@@ -336,8 +336,11 @@ def main() -> int:
         # The bench config is the r1-comparable THROUGHPUT config; its EPE
         # is not the accuracy floor. The converged floor at 256^3 is
         # 2.4e-3 (warps=8, sweeps<=60, residual_tol=1e-6; STUDY_256.jsonl
-        # + VALIDATION.md "256^3 accuracy study").
+        # + VALIDATION.md "256^3 accuracy study"); interp=tricubic breaks
+        # that trilinear-bias floor to 5.6e-4 (192^3, same texture —
+        # VALIDATION.md; 256^3 tricubic faults this emulator).
         "epe_converged_256_study": 0.0024,
+        "epe_tricubic_192_study": 0.00056,
         "seconds_per_run": round(dt, 3),
         **kern,
     }

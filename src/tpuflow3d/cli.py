@@ -241,10 +241,10 @@ def _auto_mode(args, shape, params, log) -> None:
           file=sys.stderr)
 
 
-def _run_distributed(args, params, log) -> int:
-    """Multi-process entry: the reference's single main() covers its whole
-    surface (SURVEY.md §5.1); this flag gives the multi-host path the same
-    front door instead of requiring a hand-written worker script."""
+def _distributed_setup(args, log, first_frame: str):
+    """Shared --distributed bring-up: jax.distributed init, volume meta
+    resolution (f32 slab-IO constraint), global mesh. Returns (dist module,
+    meta, mesh)."""
     if args.timings:
         print("tpuflow3d: note: --timings is not supported with "
               "--distributed (phase timers are per-process); ignoring",
@@ -259,15 +259,23 @@ def _run_distributed(args, params, log) -> int:
     if args.dims is not None:
         meta = vio.VolumeMeta(tuple(args.dims), args.dtype or "float32")
     else:
-        meta = vio.read_sidecar(args.frame0)
+        meta = vio.read_sidecar(first_frame)
         if meta is None:
             raise ValueError(f"--distributed needs --dims or a .json "
-                             f"sidecar for {args.frame0}")
+                             f"sidecar for {first_frame}")
     if meta.dtype != "float32":
         raise ValueError("--distributed reads slabs directly from the raw "
                          "files; convert inputs to float32 first "
                          "(non-f32 widening happens in-memory otherwise)")
-    mesh = dist.global_z_mesh()
+    return dist, meta, dist.global_z_mesh()
+
+
+def _run_distributed(args, params, log) -> int:
+    """Multi-process entry: the reference's single main() covers its whole
+    surface (SURVEY.md §5.1); this flag gives the multi-host path the same
+    front door instead of requiring a hand-written worker script."""
+    dist, meta, mesh = _distributed_setup(args, log, args.frame0)
+    import jax
     params = _notice_flow_clamp(params, mesh.devices.size, log)
     t0 = time.perf_counter()
     flow = dist.compute_flow_distributed(
@@ -368,6 +376,36 @@ def _log_fit(log, i0, i1, flow, **extra):
             mean_abs_diff_unwarped=float(before), **extra)
 
 
+def _run_sequence_distributed(args, params, log) -> int:
+    """Time-series mode over a multi-process cluster: each consecutive
+    pair runs the host-local-IO sharded solve; the jitted executable is
+    shared across pairs (sharding._sharded_fn is memoized), and per-pair
+    checkpoint dirs make long 4D runs resumable at pair granularity."""
+    import jax
+
+    dist, meta, mesh = _distributed_setup(args, log, args.frames[0])
+    params = _notice_flow_clamp(params, mesh.devices.size, log)
+    voxels = float(np.prod(meta.shape))
+    for t in range(len(args.frames) - 1):
+        ck = (f"{args.checkpoint_dir.rstrip('/')}/pair{t:04d}"
+              if args.checkpoint_dir else None)
+        prefix = f"{args.out}{t:04d}_"
+        t0 = time.perf_counter()
+        flow = dist.compute_flow_distributed(
+            args.frames[t], args.frames[t + 1], meta, params, mesh,
+            out_prefix=prefix, checkpoint_dir=ck)
+        flow.block_until_ready()
+        dt = time.perf_counter() - t0
+        log.log("pair_done", t=t, frame0=args.frames[t],
+                frame1=args.frames[t + 1], seconds=dt,
+                voxels_per_s=voxels / dt, prefix=prefix,
+                process=jax.process_index())
+        if jax.process_index() == 0:
+            print(f"tpuflow3d: pair {t} ({dt:.2f}s) -> {prefix}",
+                  file=sys.stderr)
+    return 0
+
+
 def _run_sequence(args, params, log) -> int:
     """Time-series mode: consecutive-pair flows over N frames (the
     reference's 4D-tomography workflow is exactly this loop of per-pair
@@ -375,8 +413,7 @@ def _run_sequence(args, params, log) -> int:
     if len(args.frames) < 2:
         raise ValueError("--frames needs at least 2 volumes")
     if args.distributed:
-        raise ValueError("--frames with --distributed is not supported yet; "
-                         "run per-pair --distributed jobs")
+        return _run_sequence_distributed(args, params, log)
     timer = None
     if args.timings:
         from tpuflow3d.utils.profiling import PhaseTimer

@@ -70,10 +70,16 @@ _register(OpSpec(
 _register(OpSpec(
     name="registration",
     fn=_warp.warp_volume,
-    z_halo="ceil(max |flow_z|) + 1 planes",
+    z_halo="ceil(max |flow_z|) + 1 planes (+1 for tricubic)",
     bytes_per_voxel=4 + 12 + 4,  # read I1 + 3 flow comps, write warped
+    byte_variants={"trilinear": 4 + 12 + 4,
+                   # 64-tap Catmull-Rom: same streaming traffic (taps hit
+                   # cache/VMEM lines already fetched), +1 halo plane
+                   "tricubic": 4 + 12 + 4},
     reference="CudaOperationRegistration",
-    doc="Backward trilinear warp of the moving volume by the current flow."))
+    doc="Backward warp of the moving volume by the current flow: trilinear "
+        "(reference behavior) or tricubic Catmull-Rom (params.interp; "
+        "breaks the trilinear interpolation-bias EPE floor)."))
 
 def _warp_grad(i1, flow, i0, ctx, max_disp):
     from tpuflow3d.pallas.warp_grad import warp_grad_pallas

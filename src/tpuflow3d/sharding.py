@@ -15,6 +15,7 @@ structural (SURVEY.md §6 tier 4 gate).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -57,7 +58,11 @@ def prepare_params(params: FlowParams, n_shards: int) -> FlowParams:
     return params
 
 
+@functools.lru_cache(maxsize=16)
 def _sharded_fn(params: FlowParams, mesh: Mesh, diagnostics: bool):
+    # Memoized so repeated same-config solves (time-series mode, resumed
+    # distributed runs) reuse one jit wrapper — and therefore one compiled
+    # executable — instead of re-tracing per pair.
     n = mesh.shape[Z_AXIS_NAME]
     ctx = HaloCtx(axis_name=Z_AXIS_NAME, n_shards=n)
     vol_spec = P(Z_AXIS_NAME, None, None)

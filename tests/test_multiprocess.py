@@ -109,3 +109,47 @@ def test_two_process_checkpoint_resume(tmp_path):
     u = vio.read_raw(str(tmp_path / "mpflow_u.raw"),
                      vio.VolumeMeta(shape, "float32"))
     np.testing.assert_allclose(u, ref[2], atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_cli_distributed_sequence(tmp_path):
+    """--frames over a real 2-process cluster through the CLI front door:
+    3 frames -> 2 flows, each matching the single-process sharded solve."""
+    shape = (16, 12, 12)
+    # One texture (seed 11) translated by 0.5 voxels per step along z/x.
+    a, b, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 0.5)), seed=11)
+    c = syn.make_pair(shape, syn.translation((1.0, 0.0, 1.0)), seed=11)[1]
+    paths = []
+    for name, arr in [("t0", a), ("t1", b), ("t2", c)]:
+        f = str(tmp_path / f"{name}.raw")
+        vio.write_raw(f, arr)
+        paths.append(f)
+
+    src = os.path.join(os.path.dirname(__file__), "..", "src")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # 1 local CPU device per process
+    env["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+    env["PYTHONPATH"] = src + os.pathsep + env.get("PYTHONPATH", "")
+    out = str(tmp_path / "seq_")
+    base = [sys.executable, "-m", "tpuflow3d.cli", "--distributed",
+            "--coordinator", "localhost:23981", "--num-processes", "2",
+            "--frames", *paths, "--out", out, "--platform", "cpu",
+            "--levels", "2", "--warps", "1", "--inner-iterations", "1",
+            "--sweeps", "5", "--alpha", "0.05"]
+    procs = [subprocess.Popen(base + ["--process-id", str(r)], env=env,
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for r in range(2)]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+
+    p2 = FlowParams(levels=2, warps=1, inner_iterations=1, sweeps=5,
+                    alpha=0.05)
+    frames = [a, b, c]
+    for t in range(2):
+        ref = np.asarray(compute_flow_sharded(frames[t], frames[t + 1], p2,
+                                              make_z_mesh(2)))
+        u = vio.read_raw(f"{out}{t:04d}_u.raw",
+                         vio.VolumeMeta(shape, "float32"))
+        np.testing.assert_allclose(u, ref[2], atol=1e-5, rtol=1e-4)
