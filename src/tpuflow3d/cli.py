@@ -424,10 +424,22 @@ def _run_sequence(args, params, log) -> int:
 
     stack = contextlib.ExitStack()
     stack.enter_context(xla_trace(args.profile_dir))
+    # Frame IO overlaps the solve: frame t+2 loads (threaded C++ pread +
+    # widening) while pair t computes on-device — the disk-bound phase of
+    # the reference's per-pair reload loop (SURVEY.md §5.1) disappears
+    # from the critical path for all but the first two frames.
+    from concurrent.futures import ThreadPoolExecutor
+    pool = stack.enter_context(ThreadPoolExecutor(max_workers=1))
+    writer = stack.enter_context(ThreadPoolExecutor(max_workers=1))
+    wfut = None
     i0 = _load(args.frames[0], args.dims, args.dtype)
     _auto_mode(args, i0.shape, params, log)
+    pending = pool.submit(_load, args.frames[1], args.dims, args.dtype)
     for t, path in enumerate(args.frames[1:]):
-        i1 = _load(path, args.dims, args.dtype)
+        i1 = pending.result()
+        if t + 2 < len(args.frames):
+            pending = pool.submit(_load, args.frames[t + 2], args.dims,
+                                  args.dtype)
         if i0.shape != i1.shape:
             raise ValueError(f"frame shapes differ at t={t}: {i0.shape} vs "
                              f"{i1.shape} ({path})")
@@ -437,7 +449,12 @@ def _run_sequence(args, params, log) -> int:
         flow, diag = _solve_pair(args, params, i0, i1, log, timer, ck)
         dt = time.perf_counter() - t0
         prefix = f"{args.out}{t:04d}_"
-        vio.write_flow(prefix, flow, magnitude=not args.no_magnitude)
+        # Writes also overlap the next pair's solve (at most one pending,
+        # bounding host memory to one retained flow field).
+        if wfut is not None:
+            wfut.result()
+        wfut = writer.submit(vio.write_flow, prefix, flow,
+                             magnitude=not args.no_magnitude)
         log.log("pair_done", t=t, frame0=args.frames[t], frame1=path,
                 seconds=dt, voxels_per_s=float(np.prod(i0.shape)) / dt,
                 prefix=prefix)
@@ -452,6 +469,8 @@ def _run_sequence(args, params, log) -> int:
         print(f"tpuflow3d: pair {t} ({dt:.2f}s) -> {prefix}",
               file=sys.stderr)
         i0 = i1
+    if wfut is not None:
+        wfut.result()  # surface writer errors before declaring success
     stack.close()
     if timer is not None:
         log.log("timings", phases=timer.report())

@@ -261,10 +261,12 @@ def test_cli_sequence(tmp_path):
     from tpuflow3d import synthetic as syn
 
     i0, i1, _ = syn.make_pair((24, 24, 24), syn.translation((0.0, 0.0, 1.0)))
-    i2, _, _ = syn.make_pair((24, 24, 24), syn.translation((0.0, 0.0, 1.0)),
-                             seed=3)
+    i2, i3, _ = syn.make_pair((24, 24, 24), syn.translation((0.0, 0.0, 1.0)),
+                              seed=3)
     paths = []
-    for t, arr in enumerate([i0, i1, i2]):
+    # 4 frames so the IO-prefetch chain (frame t+2 loads during pair t)
+    # and the overlapped-writer handoff both cycle at least once.
+    for t, arr in enumerate([i0, i1, i2, i3]):
         p = str(tmp_path / f"t{t}.raw")
         vio.write_raw(p, arr)
         paths.append(p)
@@ -273,7 +275,7 @@ def test_cli_sequence(tmp_path):
                    "--levels", "2", "--warps", "2", "--sweeps", "10",
                    "--alpha", "0.05", "--no-magnitude"])
     assert rc == 0
-    for t in range(2):
+    for t in range(3):
         for comp in "uvw":
             arr = vio.read_raw(f"{out}{t:04d}_{comp}.raw")
             assert arr.shape == (24, 24, 24)
