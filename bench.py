@@ -135,9 +135,39 @@ def _kernel_fractions(shape, p, bw):
     implied["sor"] = vox * bytes_model / dt
     out.update({"sor_halfsweep_ms": round(dt * 1e3, 4),
                 "packed_vs_flat_speedup": round(flat_ms / (dt * 1e3), 3)})
+    f32_packed_ms = dt * 1e3
     print(f"bench: SOR packed half-sweep {dt * 1e3:.3f} ms, "
           f"{vox / dt / 1e9:.2f} Gvox/s, "
           f"{flat_ms / (dt * 1e3):.2f}x vs flat",
+          file=sys.stderr, flush=True)
+
+    # bf16-terms packed variant: storage-only downcast of c/g (36 -> 30
+    # B/voxel/half-sweep) — the documented remaining bandwidth headroom
+    # (ARCHITECTURE.md "Performance notes"); arithmetic stays f32. NOTE:
+    # a memory-bound win by construction, so on a device with no
+    # execution-time model (timing_model 'emulated') the wall clock — and
+    # therefore sor_bf16_fraction — will NOT show it; the byte model is
+    # the claim, the f32-vs-bf16 EPE gate (test_pipeline) the safety.
+    p16 = p.replace(terms_dtype="bfloat16")
+
+    @jax.jit
+    def make_terms16(i0, i1, flow, du):
+        g, it = derivatives(i0, i1)
+        return compute_terms(g, it, flow, du, p16)
+
+    t16 = make_terms16(i0, i1, flow, du)
+    jax.block_until_ready(t16)
+    du16_pk, c16_pk, g16_pk, ps16_pk, pd16_pk = pack_all(du, t16)
+    jax.block_until_ready((du16_pk, c16_pk))
+    dt = timed(lambda x: packed_loop(x, c16_pk, g16_pk, ps16_pk, pd16_pk,
+                                     ps_halos), tuple(du16_pk)) / (K * 2)
+    bytes_model = roofline.SweepByteModel(packed=True,
+                                          terms_bytes=2).per_half_sweep
+    implied["sor_bf16"] = vox * bytes_model / dt
+    out.update({"sor_bf16_halfsweep_ms": round(dt * 1e3, 4),
+                "bf16_vs_f32_speedup": round(f32_packed_ms / (dt * 1e3), 3)})
+    print(f"bench: SOR packed bf16-terms half-sweep {dt * 1e3:.3f} ms, "
+          f"{f32_packed_ms / (dt * 1e3):.2f}x vs f32 terms",
           file=sys.stderr, flush=True)
 
     clamp = 2.0

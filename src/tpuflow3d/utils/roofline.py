@@ -128,12 +128,17 @@ class SweepByteModel:
     instead: 80 B/half.) Directional weights and Sherman-Morrison factors
     are recomputed in VMEM in both Pallas forms."""
     packed: bool = True
+    terms_bytes: int = 4  # storage itemsize of c and g (params.terms_dtype)
 
     @property
     def per_half_sweep(self) -> float:
+        tb = self.terms_bytes
         if self.packed:
-            return 6 + 6 + 6 + 6 + 2 + 2 + 2 + 6
-        return 12 + 12 + 12 + 8 + 12
+            # du active+neighbor-color+write (6+6+6), psi_d (2), psi_s of
+            # both colors (2+2), c and g at the terms itemsize (1.5*tb
+            # each; 6+6 at f32) = 36 B at f32 terms, 30 B at bf16.
+            return 6 + 6 + 6 + 2 + 2 + 2 + 1.5 * tb + 1.5 * tb
+        return 12 + 12 + 8 + 3 * tb + 3 * tb
 
     @property
     def per_sweep(self) -> float:

@@ -37,6 +37,11 @@ def test_roofline_model():
     # byte models match the kernels: packed (production) and flat
     assert roofline.SweepByteModel(packed=True).per_half_sweep == 36
     assert roofline.SweepByteModel(packed=False).per_half_sweep == 56
+    # bf16 terms storage shrinks only c and g
+    assert roofline.SweepByteModel(packed=True,
+                                   terms_bytes=2).per_half_sweep == 30
+    assert roofline.SweepByteModel(packed=False,
+                                   terms_bytes=2).per_half_sweep == 44
 
 
 def test_jsonl_logger(tmp_path, capsys):
