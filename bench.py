@@ -188,6 +188,12 @@ def _kernel_fractions(shape, p, bw):
     from tpuflow3d.ops import get_op
     implied["warp"] = vox * get_op("warp_derivatives").bytes_per_voxel / dt
     out["warp_grad_ms"] = round(dt * 1e3, 4)
+    # The warp kernel is VPU-compute-bound, not HBM-bound (ARCHITECTURE.md
+    # "Performance notes"): ~18 flop/B at clamp 2, ~4x past a v5e ridge,
+    # so warp_fraction (vs the HBM normalizer) is EXPECTED ~0.25 on real
+    # hardware. Record the op-count model so the fraction reads correctly.
+    mc = int(np.ceil(clamp))
+    out["warp_flops_per_voxel"] = 3 * (2 * mc + 2) ** 3
 
     # Normalize every fraction by the fastest measured streamer — the
     # bandwidth probe or any kernel's own implied rate — so fractions are
