@@ -94,8 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--incore", action="store_true",
                     help="pin the single-device in-core path (disables the "
                          "automatic memory-based path selection)")
-    ap.add_argument("--chunk-z", type=int, default=64,
-                    help="Z-chunk planes for --piecewise")
+    ap.add_argument("--chunk-z", type=int, default=None,
+                    help="Z-chunk planes for --piecewise (default: sized "
+                         "automatically from device memory; 64 when the "
+                         "budget is unknown)")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="save/resume the flow at pyramid-level boundaries")
     ap.add_argument("--residuals", action="store_true",
@@ -227,7 +229,8 @@ def _auto_mode(args, shape, params, log) -> None:
         mode = f"sharded over {n} devices"
     else:
         args.piecewise = True
-        mode = f"piecewise (chunk_z={args.chunk_z})"
+        mode = (f"piecewise (chunk_z={args.chunk_z})"
+                if args.chunk_z is not None else "piecewise (auto chunk)")
     log.log("auto_mode", selected="sharded" if args.sharded else "piecewise",
             need_bytes=need, device_budget_bytes=budget, devices=n)
 
@@ -312,6 +315,13 @@ def _solve_pair(args, params, i0, i1, log, timer, checkpoint_dir):
     diagnostics = params.track_residuals
     if args.piecewise:
         from tpuflow3d.piecewise import compute_flow_piecewise
+        if args.chunk_z is None:
+            from tpuflow3d.utils import memory as mem
+            budget = mem.device_budget_bytes()
+            args.chunk_z = (mem.pick_chunk_z(i0.shape, params, budget)
+                            if budget else 64)
+            log.log("auto_chunk", chunk_z=args.chunk_z,
+                    device_budget_bytes=budget)
         flow = compute_flow_piecewise(i0, i1, params, chunk_z=args.chunk_z,
                                       checkpoint_dir=checkpoint_dir,
                                       timer=timer)

@@ -416,13 +416,19 @@ def _stream_resample(x: np.ndarray, out_shape, sigma: float, chunk: int,
     return out
 
 
+def stream_margin(p: FlowParams) -> int:
+    """Z margin planes a streamed solve chunk carries: warp margin (+1 tap
+    for tricubic) + derivative stencil radius (1 for 2-point, 2 for
+    5-point). Requires a positive flow_clamp (DEFAULT_FLOW_CLAMP is
+    injected by compute_flow_piecewise)."""
+    return (int(math.ceil(p.flow_clamp)) + 1
+            + (1 if p.interp == "tricubic" else 0) + p.deriv_order // 2)
+
+
 def _solve_level_streamed(i0l, i1l, flow, p: FlowParams, chunk: int,
                           temporal_block: bool = True, fuse: bool = True):
     d, h, w = i0l.shape
-    # Warp margin (+1 tap for tricubic) + derivative stencil radius
-    # (1 for 2-point, 2 for 5-point)
-    mw = (int(math.ceil(p.flow_clamp)) + 1
-          + (1 if p.interp == "tricubic" else 0) + p.deriv_order // 2)
+    mw = stream_margin(p)
     if (fuse and temporal_block and p.solver == "sor"
             and p.inner_iterations == 1):
         # Single nonlinear iteration: the whole warp iteration collapses

@@ -44,6 +44,27 @@ _KIND_BYTES = [
 ]
 
 
+# Live fields per slab voxel in the fused streamed launch (piecewise
+# _ph_fused_warp_iter): i0/i1 slabs (2) + flow (3) + g (3) + It (1) +
+# SolveTerms c/g/w/sw_inv/smt/psi_s/psi_d (3+3+6+1+1+1+1) + du (3) +
+# warped transient (1).
+_STREAM_FIELDS_PER_VOXEL = 29
+
+
+def pick_chunk_z(shape, p, budget: int, lo: int = 8) -> int:
+    """Largest streamed Z-chunk whose fused-launch slab footprint fits in
+    half the device budget (the other half covers the resident du frontier
+    band, XLA temporaries, and double-buffered transfers)."""
+    from tpuflow3d.piecewise import DEFAULT_FLOW_CLAMP, stream_margin
+
+    pp = p if p.flow_clamp > 0 else p.replace(flow_clamp=DEFAULT_FLOW_CLAMP)
+    d, h, w = shape
+    per_plane = (h * w * np.dtype(p.dtype).itemsize
+                 * _STREAM_FIELDS_PER_VOXEL * _SLACK)
+    chunk = int(budget * 0.5 / per_plane) - 2 * stream_margin(pp)
+    return max(lo, min(chunk, d))
+
+
 def device_budget_bytes(device=None):
     """Usable bytes on one accelerator, or None when the question is moot
     (CPU backend: 'device memory' is host memory, the thing the piecewise

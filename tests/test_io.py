@@ -373,3 +373,37 @@ def test_cli_incore_pins_path(tmp_path, monkeypatch):
     rc = cli.main(["--frame0", f0, "--frame1", f1, "--incore", "--piecewise",
                    "--out", str(tmp_path / "flow_")])
     assert rc == 2  # mutually exclusive pins
+
+
+def test_pick_chunk_z_model():
+    from tpuflow3d.params import FlowParams
+    from tpuflow3d.utils import memory as mem
+    p = FlowParams(levels=2, flow_clamp=2.0)
+    shape = (512, 256, 256)
+    small = mem.pick_chunk_z(shape, p, 256 << 20)
+    big = mem.pick_chunk_z(shape, p, 8 << 30)
+    assert 8 <= small < big <= 512
+    # a huge budget is capped at the volume depth
+    assert mem.pick_chunk_z(shape, p, 1 << 60) == 512
+    # a starved budget floors at the minimum streamable chunk
+    assert mem.pick_chunk_z(shape, p, 1000) == 8
+
+
+def test_cli_piecewise_auto_chunk(tmp_path, monkeypatch):
+    """--piecewise without --chunk-z sizes the chunk from the device
+    budget and logs the choice."""
+    import json
+
+    from tpuflow3d import cli
+    f0, f1 = _auto_mode_pair(tmp_path)
+    logf = str(tmp_path / "log.jsonl")
+    monkeypatch.setenv("TPUFLOW_DEVICE_BYTES", str(16 << 30))
+    rc = cli.main(["--frame0", f0, "--frame1", f1, "--piecewise",
+                   "--out", str(tmp_path / "flow_"), "--levels", "2",
+                   "--warps", "2", "--sweeps", "10", "--log-json", logf])
+    assert rc == 0
+    with open(logf) as f:
+        ev = [e for e in map(json.loads, f) if e["event"] == "auto_chunk"]
+    assert ev and ev[0]["chunk_z"] == 24  # capped at D for this volume
+    u = vio.read_raw(str(tmp_path / "flow_u.raw"))
+    assert abs(np.median(u[6:-6, 4:-4, 4:-4]) - 1.0) < 0.3
