@@ -96,6 +96,33 @@ def main():
                                                sweeps=60, residual_tol=1e-6)),
         ("deriv4_warps12_restol", base.replace(deriv_order=4, warps=12,
                                                sweeps=60, residual_tol=1e-6)),
+        # Round-2b: the eta07 row reached 4.5e-3 with a *tight* max
+        # (0.027), i.e. a uniform floor — the signature of warp
+        # interpolation bias, not under-convergence. Attack that floor
+        # directly with the tricubic (Catmull-Rom) sampler, alone and
+        # combined with the gentle-pyramid/deep-convergence knobs.
+        ("tricubic_warps8_restol", base.replace(interp="tricubic", warps=8,
+                                                sweeps=60,
+                                                residual_tol=1e-6)),
+        ("eta07_restol", base.replace(scale_factor=0.7,
+                                      levels=int(levels * 1.7), warps=6,
+                                      sweeps=40, residual_tol=1e-6)),
+        ("eta07_tricubic", base.replace(scale_factor=0.7,
+                                        levels=int(levels * 1.7), warps=4,
+                                        interp="tricubic")),
+        ("eta07_tricubic_restol", base.replace(scale_factor=0.7,
+                                               levels=int(levels * 1.7),
+                                               warps=6, sweeps=40,
+                                               interp="tricubic",
+                                               residual_tol=1e-6)),
+        ("eta08_restol", base.replace(scale_factor=0.8,
+                                      levels=int(levels * 2.2), warps=6,
+                                      sweeps=40, residual_tol=1e-6)),
+        ("eta08_tricubic_restol", base.replace(scale_factor=0.8,
+                                               levels=int(levels * 2.2),
+                                               warps=6, sweeps=40,
+                                               interp="tricubic",
+                                               residual_tol=1e-6)),
     ]
     if args.quick:
         configs = configs[:3]

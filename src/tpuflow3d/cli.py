@@ -353,10 +353,24 @@ def _solve_pair(args, params, i0, i1, log, timer, checkpoint_dir):
     return np.asarray(flow), diag
 
 
-def _log_stats(log, arrays: dict, **extra):
+def _log_stats(log, arrays: dict, device: bool = True, **extra):
     """Volume statistics (--stats) via the ops-registry 'statistics' op —
     the reference prints per-volume info at startup; here it is one JSONL
-    event per array."""
+    event per array. device=False computes host-side in chunks (piecewise
+    runs: a full volume must never land on the device)."""
+    if not device:
+        for name, a in arrays.items():
+            flat = np.asarray(a).reshape(-1)
+            tot = ssq = 0.0
+            step = 1 << 24
+            for off in range(0, flat.size, step):
+                c = flat[off:off + step]
+                tot += float(c.sum(dtype=np.float64))
+                ssq += float(np.square(c, dtype=np.float64).sum())
+            log.log("statistics", volume=name, min=float(flat.min()),
+                    max=float(flat.max()), mean=tot / flat.size,
+                    l2=float(np.sqrt(ssq)), **extra)
+        return
     import jax
 
     from tpuflow3d.ops import get_op
@@ -367,9 +381,19 @@ def _log_stats(log, arrays: dict, **extra):
         log.log("statistics", volume=name, **s, **extra)
 
 
-def _log_fit(log, i0, i1, flow, **extra):
+def _log_fit(log, i0, i1, flow, params=None, chunk_z=None, **extra):
     """Registration-fit diagnostic (--report-fit): |warp(i1, flow) - i0|
-    vs the unwarped difference."""
+    vs the unwarped difference. chunk_z streams the diagnostic in Z-chunks
+    (piecewise runs: the in-core form needs i0+i1+flow+warped resident —
+    ~7 full volumes — which would OOM the device right after an
+    out-of-core solve)."""
+    if chunk_z:
+        from tpuflow3d.piecewise import registration_fit_streamed
+        mean_r, max_r, before = registration_fit_streamed(
+            i0, i1, flow, params, chunk_z)
+        log.log("fit", mean_residual=mean_r, max_residual=max_r,
+                mean_abs_diff_unwarped=before, **extra)
+        return
     import jax
     import jax.numpy as jnp
 
@@ -384,6 +408,22 @@ def _log_fit(log, i0, i1, flow, **extra):
                                 jnp.asarray(flow))
     log.log("fit", mean_residual=float(mean_r), max_residual=float(max_r),
             mean_abs_diff_unwarped=float(before), **extra)
+
+
+def _pair_diagnostics(args, log, params, i0, i1, flow,
+                      include_frames: bool, **extra):
+    """The shared --report-fit/--stats block for a solved pair; streams on
+    piecewise runs so diagnostics can never OOM the device after an
+    out-of-core solve."""
+    chunk = args.chunk_z if args.piecewise else None
+    if args.report_fit:
+        _log_fit(log, i0, i1, flow, params=params, chunk_z=chunk, **extra)
+    if args.stats:
+        mag = np.sqrt(np.sum(np.square(flow, dtype=np.float64), axis=0))
+        arrays = {"flow_magnitude": mag.astype(np.float32)}
+        if include_frames:
+            arrays = {"frame0": i0, "frame1": i1, **arrays}
+        _log_stats(log, arrays, device=not args.piecewise, **extra)
 
 
 def _run_sequence_distributed(args, params, log) -> int:
@@ -432,56 +472,55 @@ def _run_sequence(args, params, log) -> int:
 
     from tpuflow3d.utils.profiling import xla_trace
 
-    stack = contextlib.ExitStack()
-    stack.enter_context(xla_trace(args.profile_dir))
-    # Frame IO overlaps the solve: frame t+2 loads (threaded C++ pread +
-    # widening) while pair t computes on-device — the disk-bound phase of
-    # the reference's per-pair reload loop (SURVEY.md §5.1) disappears
-    # from the critical path for all but the first two frames.
-    from concurrent.futures import ThreadPoolExecutor
-    pool = stack.enter_context(ThreadPoolExecutor(max_workers=1))
-    writer = stack.enter_context(ThreadPoolExecutor(max_workers=1))
-    wfut = None
-    i0 = _load(args.frames[0], args.dims, args.dtype)
-    _auto_mode(args, i0.shape, params, log)
-    pending = pool.submit(_load, args.frames[1], args.dims, args.dtype)
-    for t, path in enumerate(args.frames[1:]):
-        i1 = pending.result()
-        if t + 2 < len(args.frames):
-            pending = pool.submit(_load, args.frames[t + 2], args.dims,
-                                  args.dtype)
-        if i0.shape != i1.shape:
-            raise ValueError(f"frame shapes differ at t={t}: {i0.shape} vs "
-                             f"{i1.shape} ({path})")
-        ck = (f"{args.checkpoint_dir.rstrip('/')}/pair{t:04d}"
-              if args.checkpoint_dir else None)
-        t0 = time.perf_counter()
-        flow, diag = _solve_pair(args, params, i0, i1, log, timer, ck)
-        dt = time.perf_counter() - t0
-        prefix = f"{args.out}{t:04d}_"
-        # Writes also overlap the next pair's solve (at most one pending,
-        # bounding host memory to one retained flow field).
+    # `with` (not a bare stack.close() at the end) so a mid-sequence error
+    # still finalizes the profiler trace and joins the IO pools.
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(xla_trace(args.profile_dir))
+        # Frame IO overlaps the solve: frame t+2 loads (threaded C++ pread
+        # + widening) while pair t computes on-device — the disk-bound
+        # phase of the reference's per-pair reload loop (SURVEY.md §5.1)
+        # disappears from the critical path for all but the first two
+        # frames.
+        from concurrent.futures import ThreadPoolExecutor
+        pool = stack.enter_context(ThreadPoolExecutor(max_workers=1))
+        writer = stack.enter_context(ThreadPoolExecutor(max_workers=1))
+        wfut = None
+        i0 = _load(args.frames[0], args.dims, args.dtype)
+        _auto_mode(args, i0.shape, params, log)
+        pending = pool.submit(_load, args.frames[1], args.dims, args.dtype)
+        for t, path in enumerate(args.frames[1:]):
+            i1 = pending.result()
+            if t + 2 < len(args.frames):
+                pending = pool.submit(_load, args.frames[t + 2], args.dims,
+                                      args.dtype)
+            if i0.shape != i1.shape:
+                raise ValueError(f"frame shapes differ at t={t}: "
+                                 f"{i0.shape} vs {i1.shape} ({path})")
+            ck = (f"{args.checkpoint_dir.rstrip('/')}/pair{t:04d}"
+                  if args.checkpoint_dir else None)
+            t0 = time.perf_counter()
+            flow, diag = _solve_pair(args, params, i0, i1, log, timer, ck)
+            dt = time.perf_counter() - t0
+            prefix = f"{args.out}{t:04d}_"
+            # Writes also overlap the next pair's solve (at most one
+            # pending, bounding host memory to one retained flow field).
+            if wfut is not None:
+                wfut.result()
+            wfut = writer.submit(vio.write_flow, prefix, flow,
+                                 magnitude=not args.no_magnitude)
+            log.log("pair_done", t=t, frame0=args.frames[t], frame1=path,
+                    seconds=dt, voxels_per_s=float(np.prod(i0.shape)) / dt,
+                    prefix=prefix)
+            if params.track_residuals and "residuals" in diag:
+                log.log("residuals", t=t, summary=summarize_residuals(
+                    np.asarray(diag["residuals"])))
+            _pair_diagnostics(args, log, params, i0, i1, flow,
+                              include_frames=False, t=t)
+            print(f"tpuflow3d: pair {t} ({dt:.2f}s) -> {prefix}",
+                  file=sys.stderr)
+            i0 = i1
         if wfut is not None:
-            wfut.result()
-        wfut = writer.submit(vio.write_flow, prefix, flow,
-                             magnitude=not args.no_magnitude)
-        log.log("pair_done", t=t, frame0=args.frames[t], frame1=path,
-                seconds=dt, voxels_per_s=float(np.prod(i0.shape)) / dt,
-                prefix=prefix)
-        if params.track_residuals and "residuals" in diag:
-            log.log("residuals", t=t, summary=summarize_residuals(
-                np.asarray(diag["residuals"])))
-        if args.report_fit:
-            _log_fit(log, i0, i1, flow, t=t)
-        if args.stats:
-            mag = np.sqrt(np.sum(np.square(flow, dtype=np.float64), axis=0))
-            _log_stats(log, {"flow_magnitude": mag.astype(np.float32)}, t=t)
-        print(f"tpuflow3d: pair {t} ({dt:.2f}s) -> {prefix}",
-              file=sys.stderr)
-        i0 = i1
-    if wfut is not None:
-        wfut.result()  # surface writer errors before declaring success
-    stack.close()
+            wfut.result()  # surface writer errors before declaring success
     if timer is not None:
         log.log("timings", phases=timer.report())
     return 0
@@ -513,8 +552,6 @@ def _run(args) -> int:
         return 2
     _auto_mode(args, i0.shape, params, log)
 
-    import contextlib
-
     from tpuflow3d.utils.profiling import xla_trace
 
     t0 = time.perf_counter()
@@ -523,11 +560,9 @@ def _run(args) -> int:
     if args.timings:
         from tpuflow3d.utils.profiling import PhaseTimer
         timer = PhaseTimer()
-    stack = contextlib.ExitStack()
-    stack.enter_context(xla_trace(args.profile_dir))
-    flow, diag = _solve_pair(args, params, i0, i1, log, timer,
-                             args.checkpoint_dir)
-    stack.close()
+    with xla_trace(args.profile_dir):
+        flow, diag = _solve_pair(args, params, i0, i1, log, timer,
+                                 args.checkpoint_dir)
     dt = time.perf_counter() - t0
     if timer is not None:
         report = timer.report()
@@ -542,15 +577,11 @@ def _run(args) -> int:
         log.log("residuals",
                 summary=summarize_residuals(np.asarray(diag["residuals"])))
 
-    if args.report_fit:
-        _log_fit(log, i0, i1, flow)
-    if args.stats:
-        mag = np.sqrt(np.sum(np.square(flow, dtype=np.float64), axis=0))
-        _log_stats(log, {"frame0": i0, "frame1": i1,
-                         "flow_magnitude": mag.astype(np.float32)})
-
+    # Outputs first, diagnostics after: a failing/OOM-ing diagnostic must
+    # never discard the completed flow of a long run.
     vio.write_flow(args.out, flow, magnitude=not args.no_magnitude)
     log.log("written", prefix=args.out)
+    _pair_diagnostics(args, log, params, i0, i1, flow, include_frames=True)
     return 0
 
 

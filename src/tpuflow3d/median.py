@@ -23,8 +23,11 @@ def median3_op(x: jax.Array, ctx: HaloCtx, p) -> jax.Array:
     """Backend-dispatching 27-point median (Pallas on TPU, XLA elsewhere)."""
     from tpuflow3d.backend import pallas_interpret, use_pallas
     if use_pallas(p):
-        from tpuflow3d.pallas.median3 import median3_pallas
-        return median3_pallas(ctx.zpad(x, 1), interpret=pallas_interpret())
+        from tpuflow3d.pallas.median3 import (median3_pallas,
+                                              median3_pallas_fits)
+        if median3_pallas_fits(x.shape):
+            return median3_pallas(ctx.zpad(x, 1),
+                                  interpret=pallas_interpret())
     return median3(x, ctx)
 
 

@@ -34,11 +34,25 @@ def _pick_by(h: int) -> int:
     return max(cands) if cands else h
 
 
-def _forgetful_median27(vals: list) -> jax.Array:
-    """Median of 27 equal-shape arrays by forgetful selection."""
-    assert len(vals) == 27
-    s = list(vals[:15])
-    rest = list(vals[15:])
+def median3_pallas_fits(shape) -> bool:
+    """Whether the kernel's Mosaic stack fits the ~16 MB scoped-VMEM limit
+    for a (C, D, H, W) field. When H has no multiple-of-8 divisor <= 64
+    the whole H is one Y block; at large awkward H*W the selection
+    network's ~16-block live set then overflows the scoped stack, and
+    callers must take the XLA twin instead (correct, just HBM-resident)."""
+    cch, h, w = shape[0], shape[-2], shape[-1]
+    by = _pick_by(h)
+    blk = cch * (-(-by // 8) * 8) * (-(-w // 128) * 128) * 4
+    return 17 * blk <= 15 << 20
+
+
+def _forgetful_median27(val) -> jax.Array:
+    """Median of 27 equal-shape arrays by forgetful selection. ``val(i)``
+    produces the i-th value LAZILY: materializing all 27 up front put
+    27 + |working set| block arrays on the Mosaic stack at once (~22 MB at
+    a 180-row single-Y-block shape — over the 16 MB scoped-VMEM limit);
+    admitting values as the selection consumes them caps the live set at
+    15 blocks plus the value under construction."""
 
     def drop_min_max(s):
         # Bubble max to the end, then min to the front, drop both.
@@ -52,9 +66,10 @@ def _forgetful_median27(vals: list) -> jax.Array:
             s[i - 1], s[i] = lo, hi
         return s[1:-1]
 
+    s = [val(i) for i in range(15)]
     s = drop_min_max(s)          # 15 -> 13
-    for v in rest:               # 12 cycles: add 1, drop 2
-        s.append(v)
+    for i in range(15, 27):      # 12 cycles: add 1, drop 2
+        s.append(val(i))
         s = drop_min_max(s)
     assert len(s) == 1
     return s[0]
@@ -65,22 +80,30 @@ def _kernel(p0_ref, p1_ref, p2_ref, *rest, nyb: int):
     ydn = rest[3:6]   # 8-row blocks just below, per z plane
     out_ref = rest[6]
     j = pl.program_id(1)
+    prefs = (p0_ref, p1_ref, p2_ref)
 
-    vals = []
-    for dz, pref in enumerate((p0_ref, p1_ref, p2_ref)):
-        plane = pref[:]  # (C, 1, BY, W)
-        up_row = jnp.where(j == nyb - 1, plane[:, :, -1:], yup[dz][:, :, :1])
-        dn_row = jnp.where(j == 0, plane[:, :, :1], ydn[dz][:, :, -1:])
-        ys = [
-            jnp.concatenate([dn_row, plane[:, :, :-1]], axis=2),
-            plane,
-            jnp.concatenate([plane[:, :, 1:], up_row], axis=2),
-        ]
-        for v in ys:
-            vals.append(jnp.concatenate([v[..., :1], v[..., :-1]], axis=3))
-            vals.append(v)
-            vals.append(jnp.concatenate([v[..., 1:], v[..., -1:]], axis=3))
-    out_ref[:] = _forgetful_median27(vals)
+    def val(i):
+        # Same (dz, dy, dx) enumeration order as the eager form — the
+        # selection sequence (and so the exact result) is unchanged.
+        dz, r = divmod(i, 9)
+        dy, dx = divmod(r, 3)
+        plane = prefs[dz][:]  # (C, 1, BY, W)
+        if dy == 0:
+            dn_row = jnp.where(j == 0, plane[:, :, :1], ydn[dz][:, :, -1:])
+            v = jnp.concatenate([dn_row, plane[:, :, :-1]], axis=2)
+        elif dy == 1:
+            v = plane
+        else:
+            up_row = jnp.where(j == nyb - 1, plane[:, :, -1:],
+                               yup[dz][:, :, :1])
+            v = jnp.concatenate([plane[:, :, 1:], up_row], axis=2)
+        if dx == 0:
+            return jnp.concatenate([v[..., :1], v[..., :-1]], axis=3)
+        if dx == 1:
+            return v
+        return jnp.concatenate([v[..., 1:], v[..., -1:]], axis=3)
+
+    out_ref[:] = _forgetful_median27(val)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -416,6 +416,42 @@ def _stream_resample(x: np.ndarray, out_shape, sigma: float, chunk: int,
     return out
 
 
+@partial(jax.jit, static_argnames=("dg", "p"))
+def _ph_fit(i0s, i1s, fls, z0, dg: int, p: FlowParams):
+    ctx = _wctx(z0, dg)
+    i1w = warp_volume(i1s, fls, ctx, max_disp=p.flow_clamp, interp=p.interp)
+    return jnp.abs(i1w - i0s)
+
+
+def registration_fit_streamed(i0, i1, flow, p: FlowParams, chunk_z: int):
+    """--report-fit for out-of-core runs: |warp(i1, flow) - i0| statistics
+    (mean residual, max residual, mean unwarped |i1 - i0|) computed by
+    streaming Z-chunks, so the device never holds a full volume (the
+    in-core diagnostic needs ~7 full volumes resident — exactly what a
+    --piecewise run cannot afford)."""
+    if p.flow_clamp <= 0:
+        p = p.replace(flow_clamp=DEFAULT_FLOW_CLAMP)
+    i0 = np.asarray(i0, np.float32)
+    i1 = np.asarray(i1, np.float32)
+    flow = np.asarray(flow, np.float32)
+    d = i0.shape[-3]
+    mw = stream_margin(p)
+    size = chunk_z + 2 * mw
+    tot = mx = before = 0.0
+    for z0 in range(0, d, chunk_z):
+        z1 = min(z0 + chunk_z, d)
+        lo = z0 - mw
+        slabs = [jnp.asarray(_host_slab(x, lo, size))
+                 for x in (i0, i1, flow)]
+        r = np.asarray(_ph_fit(*slabs, jnp.int32(lo), dg=d, p=p))[
+            mw:mw + z1 - z0]
+        tot += float(r.sum(dtype=np.float64))
+        mx = max(mx, float(r.max()))
+        before += float(np.abs(i1[z0:z1] - i0[z0:z1]).sum(dtype=np.float64))
+    n = float(i0.size)
+    return tot / n, mx, before / n
+
+
 def stream_margin(p: FlowParams) -> int:
     """Z margin planes a streamed solve chunk carries: warp margin (+1 tap
     for tricubic) + derivative stencil radius (1 for 2-point, 2 for
@@ -499,12 +535,9 @@ def compute_flow_piecewise(i0, i1, params: FlowParams = FlowParams(),
     utils.profiling.PhaseTimer — records presmooth/pyramid/per-level solve
     and upsample wall times (CLI --timings).
     """
-    import contextlib
+    from tpuflow3d.utils.profiling import PhaseTimer
 
-    def phase(name):
-        if timer is None:
-            return contextlib.nullcontext()
-        return timer.phase(name)
+    phase = PhaseTimer.maybe(timer)
 
     p = params
     if p.flow_clamp <= 0:

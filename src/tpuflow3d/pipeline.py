@@ -12,7 +12,7 @@ HaloCtx (see tpuflow3d.sharding).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -144,6 +144,36 @@ def _compute_flow_jit(i0, i1, params: FlowParams, diagnostics: bool):
     return (flow, out[1]) if diagnostics else flow
 
 
+@lru_cache(maxsize=16)
+def _prep_fn_cached(params: FlowParams):
+    """Jitted pyramid build, memoized on params so repeated checkpointed/
+    timed solves (every pair of a --frames series) reuse one jit wrapper —
+    and therefore one compiled executable per input shape — instead of
+    re-tracing per call."""
+    return jax.jit(
+        lambda a, b: prepare_pyramids(a, b, params, HaloCtx())[:2])
+
+
+@lru_cache(maxsize=128)
+def _level_fn_cached(params: FlowParams, gshape: tuple, li: int):
+    """One pyramid level (solve + upsample-to-next + clamp) as a jit,
+    memoized per (params, global shape, level) — a fresh closure per call
+    would retrace and recompile an identical program for every pair of a
+    4D series (sharding._sharded_level_fn is the sharded twin)."""
+    shapes = params.level_shapes(gshape)
+    ctx = HaloCtx()
+
+    def fn(i0l, i1l, fl):
+        fl, _ = solve_level(i0l, i1l, fl, params, ctx)
+        if li > 0:
+            fl = upsample_flow(fl, shapes[li - 1], ctx)
+            if params.flow_clamp > 0.0:
+                fl = jnp.clip(fl, -params.flow_clamp, params.flow_clamp)
+        return fl
+
+    return jax.jit(fn)
+
+
 def compute_flow_checkpointed(i0, i1, params: FlowParams = FlowParams(),
                               checkpoint_dir: str | None = None,
                               timer=None):
@@ -158,12 +188,10 @@ def compute_flow_checkpointed(i0, i1, params: FlowParams = FlowParams(),
     and per-level wall times (the analog of the reference's per-op timing
     prints, SURVEY.md §7 "Tracing / profiling"); also usable without a
     checkpoint_dir purely for level-stepped timing."""
-    import contextlib
-
     from tpuflow3d import checkpoint as ckpt
+    from tpuflow3d.utils.profiling import PhaseTimer
 
     p = params
-    ctx = HaloCtx()
     i0 = jnp.asarray(i0)
     i1 = jnp.asarray(i1)
     d = i0.shape[-3]
@@ -173,13 +201,10 @@ def compute_flow_checkpointed(i0, i1, params: FlowParams = FlowParams(),
         i0 = jnp.concatenate([i0, jnp.repeat(i0[-1:], d_pad - d, 0)], 0)
         i1 = jnp.concatenate([i1, jnp.repeat(i1[-1:], d_pad - d, 0)], 0)
 
-    def phase(name, sync=None):
-        if timer is None:
-            return contextlib.nullcontext()
-        return timer.phase(name, sync=sync)
+    phase = PhaseTimer.maybe(timer)
 
     shapes = p.level_shapes(tuple(i0.shape))
-    prep = jax.jit(lambda a, b: prepare_pyramids(a, b, p, ctx)[:2])
+    prep = _prep_fn_cached(p)
     with phase("pyramids"):
         pyr0, pyr1 = jax.block_until_ready(prep(i0, i1)) \
             if timer is not None else prep(i0, i1)
@@ -196,21 +221,10 @@ def compute_flow_checkpointed(i0, i1, params: FlowParams = FlowParams(),
                 flow = jnp.asarray(flow_np)
                 start = level
 
-    def level_fn(li):
-        def fn(i0l, i1l, fl):
-            fl, _ = solve_level(i0l, i1l, fl, p, ctx)
-            if li > 0:
-                from tpuflow3d.pyramid import upsample_flow
-                fl = upsample_flow(fl, shapes[li - 1], ctx)
-                if p.flow_clamp > 0.0:
-                    fl = jnp.clip(fl, -p.flow_clamp, p.flow_clamp)
-            return fl
-
-        return jax.jit(fn)
-
+    gshape = tuple(i0.shape)
     for li in range(start, -1, -1):
         with phase(f"level{li} {shapes[li]}"):
-            flow = level_fn(li)(pyr0[li], pyr1[li], flow)
+            flow = _level_fn_cached(p, gshape, li)(pyr0[li], pyr1[li], flow)
             if timer is not None:
                 flow.block_until_ready()
         if checkpoint_dir is not None and li > 0:

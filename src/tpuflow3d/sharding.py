@@ -78,6 +78,52 @@ def _sharded_fn(params: FlowParams, mesh: Mesh, diagnostics: bool):
     ))
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_prep_fn(params: FlowParams, mesh: Mesh, n_levels: int):
+    """Pyramid build as a jitted shard_map, memoized like _sharded_fn so
+    repeated same-config checkpointed/timed solves (each pair of a --frames
+    series) reuse one wrapper — and so one compiled executable per shape —
+    instead of re-tracing per pair."""
+    from tpuflow3d.pipeline import prepare_pyramids
+
+    ctx = HaloCtx(axis_name=Z_AXIS_NAME, n_shards=mesh.shape[Z_AXIS_NAME])
+    vol_spec = P(Z_AXIS_NAME, None, None)
+    return jax.jit(jax.shard_map(
+        lambda a, b: prepare_pyramids(a, b, params, ctx)[:2],
+        mesh=mesh, in_specs=(vol_spec, vol_spec),
+        out_specs=([vol_spec] * n_levels, [vol_spec] * n_levels),
+        check_vma=False))
+
+
+@functools.lru_cache(maxsize=128)
+def _sharded_level_fn(params: FlowParams, mesh: Mesh, gshape: tuple,
+                      li: int):
+    """One pyramid level (solve + upsample-to-next + clamp) as a jitted
+    shard_map, memoized per (params, mesh, global shape, level): the
+    checkpointed/timed driver calls this once per level per pair, and a
+    fresh closure each time would force a full retrace + XLA recompile of
+    an identical program (minutes per level on TPU for a long 4D series)."""
+    from tpuflow3d.pipeline import solve_level
+    from tpuflow3d.pyramid import upsample_flow
+
+    ctx = HaloCtx(axis_name=Z_AXIS_NAME, n_shards=mesh.shape[Z_AXIS_NAME])
+    vol_spec = P(Z_AXIS_NAME, None, None)
+    flow_spec = P(None, Z_AXIS_NAME, None, None)
+    shapes = params.level_shapes(gshape)
+
+    def fn(i0l, i1l, fl):
+        fl, _ = solve_level(i0l, i1l, fl, params, ctx)
+        if li > 0:
+            fl = upsample_flow(fl, shapes[li - 1], ctx)
+            if params.flow_clamp > 0.0:
+                fl = jnp.clip(fl, -params.flow_clamp, params.flow_clamp)
+        return fl
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(vol_spec, vol_spec, flow_spec),
+        out_specs=flow_spec, check_vma=False))
+
+
 def shard_volume(vol, mesh: Mesh):
     """Device-put a (D, H, W) volume Z-sharded over the mesh."""
     return jax.device_put(vol, NamedSharding(mesh, P(Z_AXIS_NAME, None, None)))
@@ -157,34 +203,20 @@ def _compute_flow_sharded_checkpointed(i0, i1, p: FlowParams, mesh: Mesh,
     (no process ever materializes the global flow). ``timer``: optional
     PhaseTimer for per-level timings (checkpoint_dir may be None when only
     timings are wanted)."""
-    import contextlib
     import sys
 
     from tpuflow3d import checkpoint as ckpt
-    from tpuflow3d.pipeline import prepare_pyramids, solve_level
-    from tpuflow3d.pyramid import upsample_flow
+    from tpuflow3d.utils.profiling import PhaseTimer
 
-    def phase(name):
-        if timer is None:
-            return contextlib.nullcontext()
-        return timer.phase(name)
+    phase = PhaseTimer.maybe(timer)
 
-    n = mesh.shape[Z_AXIS_NAME]
-    ctx = HaloCtx(axis_name=Z_AXIS_NAME, n_shards=n)
-    vol_spec = P(Z_AXIS_NAME, None, None)
-    flow_spec = P(None, Z_AXIS_NAME, None, None)
     gshape = tuple(i0.shape)
     shapes = p.level_shapes(gshape)
     n_levels = len(shapes)
     dtype = jnp.dtype(p.dtype)
 
-    prep = jax.jit(jax.shard_map(
-        lambda a, b: prepare_pyramids(a, b, p, ctx)[:2],
-        mesh=mesh, in_specs=(vol_spec, vol_spec),
-        out_specs=([vol_spec] * n_levels, [vol_spec] * n_levels),
-        check_vma=False))
     with phase("pyramids"):
-        pyr0, pyr1 = prep(i0, i1)
+        pyr0, pyr1 = _sharded_prep_fn(p, mesh, n_levels)(i0, i1)
         if timer is not None:
             jax.block_until_ready((pyr0, pyr1))
 
@@ -221,22 +253,10 @@ def _compute_flow_sharded_checkpointed(i0, i1, p: FlowParams, mesh: Mesh,
                   f"{(d, h, w)} (level {level}) which does not match this "
                   "run's pyramid; starting fresh", file=sys.stderr)
 
-    def level_fn(li):
-        def fn(i0l, i1l, fl):
-            fl, _ = solve_level(i0l, i1l, fl, p, ctx)
-            if li > 0:
-                fl = upsample_flow(fl, shapes[li - 1], ctx)
-                if p.flow_clamp > 0.0:
-                    fl = jnp.clip(fl, -p.flow_clamp, p.flow_clamp)
-            return fl
-
-        return jax.jit(jax.shard_map(
-            fn, mesh=mesh, in_specs=(vol_spec, vol_spec, flow_spec),
-            out_specs=flow_spec, check_vma=False))
-
     for li in range(start, -1, -1):
         with phase(f"level{li} {shapes[li]}"):
-            flow = level_fn(li)(pyr0[li], pyr1[li], flow)
+            flow = _sharded_level_fn(p, mesh, gshape, li)(
+                pyr0[li], pyr1[li], flow)
             if timer is not None:
                 flow.block_until_ready()
         if checkpoint_dir is not None and li > 0:

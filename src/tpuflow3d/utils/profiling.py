@@ -36,6 +36,15 @@ class PhaseTimer:
         return {k: {"seconds": v, "calls": self.counts[k]}
                 for k, v in self.times.items()}
 
+    @staticmethod
+    def maybe(timer: "PhaseTimer | None"):
+        """`phase(name)` context factory that degrades to a no-op when
+        ``timer`` is None — the shared form of the optional-timer pattern
+        used by every driver (pipeline/sharding/piecewise)."""
+        if timer is None:
+            return lambda name: contextlib.nullcontext()
+        return timer.phase
+
 
 def time_fn(fn, *args, warmup: int = 1, iters: int = 3) -> float:
     """Steady-state seconds per call (compile excluded via warmup)."""

@@ -112,10 +112,16 @@ def write_raw_slab(path: str, meta: VolumeMeta, z0: int,
     slab = np.ascontiguousarray(slab.astype(meta.dtype, copy=False))
     if native.write_bytes(path, z0 * plane * itemsize, slab, meta.nbytes):
         return
-    # Create/extend file to full size on first touch.
-    mode = "r+b" if os.path.exists(path) else "w+b"
-    with open(path, mode) as f:
-        f.truncate(meta.nbytes)
+    # Create-if-absent atomically (O_CREAT without O_TRUNC) and only ever
+    # EXTEND, mirroring the native path (native/flowio.cpp): an
+    # exists()+'w+b' dance races under concurrent multi-process saves —
+    # one process's O_TRUNC can zero a slab another process just wrote,
+    # and the resulting full-size file passes the torn-checkpoint size
+    # check on resume.
+    fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o644)
+    with os.fdopen(fd, "r+b") as f:
+        if os.fstat(f.fileno()).st_size < meta.nbytes:
+            f.truncate(meta.nbytes)
         f.seek(z0 * plane * itemsize)
         f.write(slab.tobytes())
 

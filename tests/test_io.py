@@ -407,3 +407,58 @@ def test_cli_piecewise_auto_chunk(tmp_path, monkeypatch):
     assert ev and ev[0]["chunk_z"] == 24  # capped at D for this volume
     u = vio.read_raw(str(tmp_path / "flow_u.raw"))
     assert abs(np.median(u[6:-6, 4:-4, 4:-4]) - 1.0) < 0.3
+
+
+def test_write_raw_slab_python_fallback_never_truncates(tmp_path,
+                                                        monkeypatch):
+    """The pure-Python slab writer must mirror the native path's
+    create-without-truncate semantics: writing one slab into an existing
+    full-size file leaves every other plane intact (a 'w+b' open would
+    zero them — silent corruption for concurrent multi-process
+    checkpoint saves)."""
+    from tpuflow3d.utils import native
+
+    monkeypatch.setattr(native, "write_bytes",
+                        lambda *a, **k: False)  # force the Python fallback
+    rng = np.random.default_rng(7)
+    arr = rng.normal(size=(12, 4, 6)).astype(np.float32)
+    path = str(tmp_path / "vol.raw")
+    meta = vio.VolumeMeta((12, 4, 6), "float32")
+    vio.write_raw_slab(path, meta, 0, arr)          # full file
+    new = rng.normal(size=(3, 4, 6)).astype(np.float32)
+    vio.write_raw_slab(path, meta, 5, new)          # overwrite middle slab
+    back = vio.read_raw(path, meta)
+    np.testing.assert_array_equal(back[5:8], new)
+    np.testing.assert_array_equal(back[:5], arr[:5])
+    np.testing.assert_array_equal(back[8:], arr[8:])
+
+
+def test_cli_piecewise_diagnostics_streamed(tmp_path, monkeypatch):
+    """--piecewise --report-fit --stats must not stage full volumes on the
+    device (the solve was out-of-core precisely because they don't fit):
+    the fit streams Z-chunks and the stats run host-side, and the outputs
+    are written BEFORE the diagnostics run."""
+    import json
+
+    from tpuflow3d import cli
+    from tpuflow3d import synthetic as syn
+
+    i0, i1, _ = syn.make_pair((16, 16, 16), syn.translation((0.0, 0.0, 1.0)))
+    f0, f1 = str(tmp_path / "a.raw"), str(tmp_path / "b.raw")
+    vio.write_raw(f0, i0)
+    vio.write_raw(f1, i1)
+    logf = str(tmp_path / "log.jsonl")
+    rc = cli.main(["--frame0", f0, "--frame1", f1, "--piecewise",
+                   "--chunk-z", "8", "--out", str(tmp_path / "flow_"),
+                   "--levels", "2", "--warps", "1", "--sweeps", "5",
+                   "--report-fit", "--stats", "--log-json", logf])
+    assert rc == 0
+    events = [json.loads(line) for line in open(logf)]
+    kinds = [e["event"] for e in events]
+    assert kinds.index("written") < kinds.index("fit")
+    fit = next(e for e in events if e["event"] == "fit")
+    # Warping by the recovered flow must improve the fit.
+    assert fit["mean_residual"] < fit["mean_abs_diff_unwarped"]
+    stats = {e["volume"]: e for e in events if e["event"] == "statistics"}
+    assert "flow_magnitude" in stats
+    assert stats["flow_magnitude"]["min"] >= 0.0

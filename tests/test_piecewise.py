@@ -227,3 +227,25 @@ def test_piecewise_tricubic_matches_incore():
     ref = np.asarray(cf(i0, i1, p))
     got = compute_flow_piecewise(i0, i1, p, chunk_z=6)
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_registration_fit_streamed_matches_incore():
+    """registration_fit_streamed (the --report-fit path for out-of-core
+    runs) must agree with the in-core jitted diagnostic."""
+    import jax.numpy as jnp
+
+    from tpuflow3d.piecewise import registration_fit_streamed
+    from tpuflow3d.warp import warp_volume
+
+    rng = np.random.default_rng(3)
+    i0 = rng.normal(size=(14, 12, 16)).astype(np.float32)
+    i1 = rng.normal(size=(14, 12, 16)).astype(np.float32)
+    flow = rng.uniform(-1.5, 1.5, size=(3, 14, 12, 16)).astype(np.float32)
+    p = FlowParams(flow_clamp=2.0)
+    mean_r, max_r, before = registration_fit_streamed(i0, i1, flow, p,
+                                                      chunk_z=5)
+    r = np.abs(np.asarray(warp_volume(jnp.asarray(i1), jnp.asarray(flow),
+                                      max_disp=2.0)) - i0)
+    assert abs(mean_r - r.mean()) < 1e-6
+    assert abs(max_r - r.max()) < 1e-6
+    assert abs(before - np.abs(i1 - i0).mean()) < 1e-6

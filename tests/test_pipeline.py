@@ -196,3 +196,19 @@ def test_tricubic_interp_improves_subvoxel_epe():
     e_lin = syn.epe(f_lin, true, mask)
     e_cub = syn.epe(f_cub, true, mask)
     assert e_cub < 0.7 * e_lin, (e_cub, e_lin)
+
+
+def test_level_fns_memoized_across_calls():
+    """The checkpointed/timed drivers must reuse one jit wrapper per
+    (params, shape, level) across calls — a fresh closure per pair would
+    recompile every level of every pair of a --frames series."""
+    from tpuflow3d.pipeline import _level_fn_cached, _prep_fn_cached
+    from tpuflow3d.sharding import _sharded_level_fn, make_z_mesh
+
+    p = FlowParams(levels=2, warps=1, sweeps=2)
+    assert _prep_fn_cached(p) is _prep_fn_cached(p)
+    assert (_level_fn_cached(p, (16, 16, 16), 1)
+            is _level_fn_cached(p, (16, 16, 16), 1))
+    mesh = make_z_mesh(2)
+    assert (_sharded_level_fn(p, mesh, (16, 16, 16), 0)
+            is _sharded_level_fn(p, mesh, (16, 16, 16), 0))
