@@ -29,30 +29,53 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_by(h: int) -> int:
-    cands = [b for b in range(8, h + 1, 8) if h % b == 0 and b <= 64]
-    return max(cands) if cands else h
+# Mosaic's scheduler materializes the selection network's whole value
+# stream regardless of construction order: the observed scoped-VMEM stack
+# is ~41 block-arrays (measured 40.8-40.9x the padded block size across
+# three in-pipeline compile failures at 180^3/164^3), against a 16 MB
+# scoped limit. Block choice and the dispatch gate both budget against
+# that empirical factor, with headroom.
+_STACK_FACTOR = 41
+_STACK_BUDGET = 15 << 20
+
+
+def _blk_bytes(cch: int, by: int, w: int) -> int:
+    return cch * (-(-by // 8) * 8) * (-(-w // 128) * 128) * 4
+
+
+def _pick_by(h: int, w: int, cch: int = 3) -> int:
+    """Largest multiple-of-8 divisor of h (<= 64) whose padded Y-block
+    keeps the kernel's stack inside the scoped-VMEM budget (wide W forces
+    smaller BY); the 8-row neighbor fetch requires by % 8 == 0. Returns h
+    itself when no aligned divisor exists — median3_pallas_fits then
+    decides whether that single big block is feasible at all."""
+    cands = [b for b in range(8, min(h, 64) + 1, 8) if h % b == 0]
+    for b in sorted(cands, reverse=True):
+        if _STACK_FACTOR * _blk_bytes(cch, b, w) <= _STACK_BUDGET:
+            return b
+    return min(cands) if cands else h
 
 
 def median3_pallas_fits(shape) -> bool:
-    """Whether the kernel's Mosaic stack fits the ~16 MB scoped-VMEM limit
+    """Whether the kernel's Mosaic stack fits the 16 MB scoped-VMEM limit
     for a (C, D, H, W) field. When H has no multiple-of-8 divisor <= 64
-    the whole H is one Y block; at large awkward H*W the selection
-    network's ~16-block live set then overflows the scoped stack, and
-    callers must take the XLA twin instead (correct, just HBM-resident)."""
+    the whole H is one Y block, and at large awkward H*W the ~41-block
+    stack overflows the limit (non-dyadic pyramid ladders hit this at
+    e.g. 180^3/164^3 levels); callers must take the XLA twin instead
+    (correct, just HBM-resident)."""
     cch, h, w = shape[0], shape[-2], shape[-1]
-    by = _pick_by(h)
-    blk = cch * (-(-by // 8) * 8) * (-(-w // 128) * 128) * 4
-    return 17 * blk <= 15 << 20
+    by = _pick_by(h, w, cch)
+    return _STACK_FACTOR * _blk_bytes(cch, by, w) <= _STACK_BUDGET
 
 
 def _forgetful_median27(val) -> jax.Array:
     """Median of 27 equal-shape arrays by forgetful selection. ``val(i)``
-    produces the i-th value LAZILY: materializing all 27 up front put
-    27 + |working set| block arrays on the Mosaic stack at once (~22 MB at
-    a 180-row single-Y-block shape — over the 16 MB scoped-VMEM limit);
-    admitting values as the selection consumes them caps the live set at
-    15 blocks plus the value under construction."""
+    produces the i-th value lazily, admitting each as the selection
+    consumes it — the minimal-live-range form (<= 15 working blocks plus
+    the value under construction). NOTE: Mosaic's scheduler still
+    allocates ~41 block-arrays of stack for the whole value stream
+    (measured; it hoists the loads), so feasibility is enforced by block
+    choice + median3_pallas_fits, not by this ordering."""
 
     def drop_min_max(s):
         # Bubble max to the end, then min to the front, drop both.
@@ -115,7 +138,7 @@ def median3_pallas(xp: jax.Array, interpret: bool = False) -> jax.Array:
     """
     cch, dp2, h, w = xp.shape
     d = dp2 - 2
-    by = _pick_by(h)
+    by = _pick_by(h, w, cch)
     nyb = h // by
     n8 = h // 8 if by >= 8 and h % 8 == 0 else 1
 
