@@ -308,13 +308,22 @@ def main() -> int:
                   file=sys.stderr, flush=True)
             err = _slab_epe()
 
+    # Probe the device's timing model early: it gates which wall-clock
+    # numbers mean anything (see the roofline section below).
+    model, bw, ratio = roofline.probe_timing_model()
+
     # bf16-terms end-to-end point (same program with the sweep constants
     # stored bfloat16 — the documented remaining sweep-HBM lever,
     # 36 -> 30 B/voxel/half-sweep; du and all arithmetic stay f32). The
     # f32 run above stays the headline for reference-comparable numerics;
-    # this records what the supported storage mode buys and costs.
+    # this records what the supported storage mode buys and costs. Only
+    # meaningful with a real execution-time model: on the emulated dev
+    # chip the two programs' wall clocks are dispatch noise and the ratio
+    # is an artifact (the bf16 sweep's true HBM delta is measured by the
+    # kernel-fraction pass instead).
     bf16 = {}
-    if os.environ.get("TPUFLOW_BENCH_BF16_E2E", "1") != "0":
+    if (model == "real"
+            and os.environ.get("TPUFLOW_BENCH_BF16_E2E", "1") != "0"):
         try:
             flow = None  # f32 EPE is done; free it before a second program
             p16 = p.replace(terms_dtype="bfloat16")
@@ -346,13 +355,13 @@ def main() -> int:
 
     # Roofline against the MEASURED whole-program streaming bandwidth
     # (VERDICT r1 weak #1: fractions normalized by the spec-sheet table
-    # exceeded 1.0 on the emulated chip). probe_timing_model also reports
-    # whether the device has a real execution-time model at all: on this
-    # dev box's axon emulator, 16x in-program work costs ~1x wall time
-    # (scale_ratio ~1), so every wall-clock-derived number is flagged
-    # "emulated" — measured/measured fractions stay consistent and <= 1,
-    # but only carry hardware meaning when timing_model == "real".
-    model, bw, ratio = roofline.probe_timing_model()
+    # exceeded 1.0 on the emulated chip). probe_timing_model (called
+    # above) also reports whether the device has a real execution-time
+    # model at all: on this dev box's axon emulator, 16x in-program work
+    # costs ~1x wall time (scale_ratio ~1), so every wall-clock-derived
+    # number is flagged "emulated" — measured/measured fractions stay
+    # consistent and <= 1, but only carry hardware meaning when
+    # timing_model == "real".
     print(f"bench: timing model '{model}' (16x-work scale ratio "
           f"{ratio:.1f}); amortized stream BW {bw / 1e9:.1f} GB/s "
           f"(spec table {roofline.device_hbm_bw() / 1e9:.1f} GB/s)",
