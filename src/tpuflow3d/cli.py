@@ -58,7 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
                       ("omega", float), ("presmooth_sigma", float),
                       ("eps_data", float), ("eps_smooth", float),
                       ("flow_clamp", float), ("deriv_order", int),
-                      ("residual_tol", float)]:
+                      ("residual_tol", float), ("gamma", float),
+                      ("eps_grad", float)]:
         ap.add_argument(f"--{name.replace('_', '-')}", type=typ, default=None,
                         dest=name)
     ap.add_argument("--interp", choices=["trilinear", "tricubic"],
@@ -70,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
                     default=None, dest="penalizer_data")
     ap.add_argument("--penalizer-smooth", choices=["charbonnier", "quadratic"],
                     default=None, dest="penalizer_smooth")
+    ap.add_argument("--penalizer-grad", choices=["charbonnier", "quadratic"],
+                    default=None, dest="penalizer_grad",
+                    help="penalizer for the gradient-constancy term "
+                         "(--gamma > 0: Brox-style robustness to additive "
+                         "intensity changes; in-core/sharded paths only)")
     ap.add_argument("--no-median", action="store_true")
     ap.add_argument("--solver", choices=["sor", "jacobi"], default=None)
     ap.add_argument("--sharded", action="store_true",
@@ -135,8 +141,8 @@ def params_from_args(args) -> FlowParams:
     for name in ["alpha", "levels", "scale_factor", "warps",
                  "inner_iterations", "sweeps", "omega", "presmooth_sigma",
                  "eps_data", "eps_smooth", "flow_clamp", "deriv_order",
-                 "residual_tol", "penalizer_data",
-                 "penalizer_smooth", "solver", "interp"]:
+                 "residual_tol", "gamma", "eps_grad", "penalizer_data",
+                 "penalizer_smooth", "penalizer_grad", "solver", "interp"]:
         v = getattr(args, name, None)
         if v is not None:
             overrides[name] = v

@@ -41,6 +41,35 @@ def central_diff4(x: jax.Array, axis: int,
     return (-nb[2] + 8.0 * nb[1] - 8.0 * nb[-1] + nb[-2]) * (1.0 / 12.0)
 
 
+def grad_constancy_terms(i0: jax.Array, i1w: jax.Array,
+                         ctx: HaloCtx = HaloCtx(),
+                         order: int = 2) -> tuple[jax.Array, jax.Array]:
+    """Linearization terms of the gradient-constancy assumption (Brox et
+    al. 2004; a capability EXTENSION over the reference's intensity-only
+    data term — SURVEY.md §2 lists no gamma term).
+
+    For each spatial axis a the constancy of the image derivative
+    d_a I gives a residual r_a = gc_it[a] + gc_g[a] . du, with
+
+        gc_it[a] = d_a(I1w) - d_a(I0)            (temporal part)
+        gc_g[a]  = grad( d_a((I0 + I1w)/2) )      (3-vector, 2nd derivs)
+
+    Returns (gc_g, gc_it): gc_g (3, 3, D, H, W) indexed [a, component],
+    gc_it (3, D, H, W). Same averaged-volume / replicate-edge conventions
+    as ``derivatives``; Z margins through HaloCtx so the sharded path is
+    halo-correct."""
+    diff = central_diff if order == 2 else central_diff4
+    ibar = 0.5 * (i0 + i1w)
+    axes = (Z_AXIS, -2, -1)
+    gc_g = []
+    gc_it = []
+    for a in axes:
+        da_bar = diff(ibar, a, ctx)
+        gc_g.append(jnp.stack([diff(da_bar, b, ctx) for b in axes]))
+        gc_it.append(diff(i1w, a, ctx) - diff(i0, a, ctx))
+    return jnp.stack(gc_g), jnp.stack(gc_it)
+
+
 def derivatives(i0: jax.Array, i1w: jax.Array,
                 ctx: HaloCtx = HaloCtx(),
                 order: int = 2) -> tuple[jax.Array, jax.Array]:

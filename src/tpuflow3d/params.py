@@ -35,6 +35,16 @@ class FlowParams:
     penalizer_smooth: Penalizer = "charbonnier"
     eps_data: float = 1e-3      # Charbonnier epsilon, data term
     eps_smooth: float = 1e-3    # Charbonnier epsilon, smoothness term
+    gamma: float = 0.0          # gradient-constancy weight (Brox et al.
+                                # 2004): adds gamma*Psi(|grad I1(x+s) -
+                                # grad I0(x)|^2) to the data term, making
+                                # the match robust to additive intensity
+                                # changes between frames. 0 = off
+                                # (reference behavior). gamma > 0 takes the
+                                # XLA sweep path (full symmetric 3x3 point
+                                # solve instead of Sherman-Morrison).
+    penalizer_grad: Penalizer = "charbonnier"
+    eps_grad: float = 1e-3      # Charbonnier epsilon, gradient-constancy
 
     # --- coarse-to-fine pyramid ---
     levels: int = 4             # max pyramid levels (incl. full resolution)
@@ -96,6 +106,8 @@ class FlowParams:
             raise ValueError("levels must be >= 1")
         if self.alpha <= 0.0:
             raise ValueError("alpha must be > 0")
+        if self.gamma < 0.0:
+            raise ValueError("gamma must be >= 0")
         if self.z_multiple < 1:
             raise ValueError("z_multiple must be >= 1")
         if self.sweeps < 1 or self.warps < 1 or self.inner_iterations < 1:

@@ -540,6 +540,12 @@ def compute_flow_piecewise(i0, i1, params: FlowParams = FlowParams(),
     phase = PhaseTimer.maybe(timer)
 
     p = params
+    if p.gamma > 0.0:
+        raise ValueError(
+            "gradient constancy (gamma > 0) is not supported on the "
+            "out-of-core piecewise path: it would stream 12 extra "
+            "second-derivative volumes per chunk. Use the in-core or "
+            "Z-sharded paths for this accuracy mode.")
     if p.flow_clamp <= 0:
         p = p.replace(flow_clamp=DEFAULT_FLOW_CLAMP)
     i0 = np.asarray(i0, np.float32)

@@ -48,12 +48,15 @@ def solve_level(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx,
     # The fused kernel computes 2-point derivatives in-VMEM and samples
     # trilinearly; 4th-order stencils and tricubic warps take the XLA
     # warp + derivative path.
+    # The fused kernel never materializes the warped volume, which the
+    # gradient-constancy terms need — gamma > 0 takes the XLA path too.
     fused_warp = (use_pallas(p) and p.deriv_order == 2
-                  and p.interp == "trilinear"
+                  and p.interp == "trilinear" and p.gamma == 0.0
                   and 0.0 < p.flow_clamp <= PALLAS_WARP_MAX_CLAMP)
 
     def warp_body(wi, carry):
         flow, res = carry
+        gc = None
         if fused_warp:
             g, it = warp_grad_pallas(i1l, flow, i0l, ctx,
                                      max_disp=p.flow_clamp,
@@ -62,8 +65,12 @@ def solve_level(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx,
             i1w = warp_volume(i1l, flow, ctx, max_disp=p.flow_clamp,
                               interp=p.interp)
             g, it = derivatives(i0l, i1w, ctx, order=p.deriv_order)
+            if p.gamma > 0.0:
+                from tpuflow3d.derivatives import grad_constancy_terms
+                gc = grad_constancy_terms(i0l, i1w, ctx, order=p.deriv_order)
         slot = res[wi] if track else None
-        du, slot_out = solve_increment(g, it, flow, p, ctx, parity, slot)
+        du, slot_out = solve_increment(g, it, flow, p, ctx, parity, slot,
+                                       gc=gc)
         if track:
             res = res.at[wi].set(slot_out)
         if p.median:

@@ -51,6 +51,11 @@ class SolveTerms(NamedTuple):
     smt: jax.Array      # (D, H, W) psi_d / (sw * (sw + psi_d*|g|^2))
     psi_s: jax.Array = None  # (D, H, W) smoothness penalizer derivative
     psi_d: jax.Array = None  # (D, H, W) data penalizer derivative
+    ainv: jax.Array = None   # (6, D, H, W) symmetric A^-1 rows
+                             # (00,01,02,11,12,22) — only when the
+                             # gradient-constancy term is active (gamma>0),
+                             # where A is no longer rank-1-plus-identity
+                             # and Sherman-Morrison does not apply
 
 
 def _psi_deriv(q2: jax.Array, penalizer: str, eps: float) -> jax.Array:
@@ -102,13 +107,36 @@ def _face_masks(shape_local: tuple[int, int, int], ctx: HaloCtx,
     ]
 
 
+def _sym3_inverse(m00, m01, m02, m11, m12, m22) -> jax.Array:
+    """Inverse of a symmetric 3x3 (SPD here: sw*I + PSD data terms),
+    via the adjugate — 6 cofactor volumes, pure VPU FMAs."""
+    c00 = m11 * m22 - m12 * m12
+    c01 = m02 * m12 - m01 * m22
+    c02 = m01 * m12 - m02 * m11
+    c11 = m00 * m22 - m02 * m02
+    c12 = m01 * m02 - m00 * m12
+    c22 = m00 * m11 - m01 * m01
+    det_inv = 1.0 / (m00 * c00 + m01 * c01 + m02 * c02)
+    return jnp.stack([c00, c01, c02, c11, c12, c22]) * det_inv
+
+
 def compute_terms(g: jax.Array, it: jax.Array, flow: jax.Array,
                   du: jax.Array, p: FlowParams,
-                  ctx: HaloCtx = HaloCtx()) -> SolveTerms:
+                  ctx: HaloCtx = HaloCtx(), gc=None) -> SolveTerms:
     """Nonlinearity update: recompute psi' weights and RHS constants for the
-    current increment estimate (SURVEY.md §5.2 NONLINEAR LOOP)."""
+    current increment estimate (SURVEY.md §5.2 NONLINEAR LOOP).
+
+    ``gc``: optional (gc_g, gc_it) from derivatives.grad_constancy_terms —
+    required when p.gamma > 0 (Brox-style gradient constancy). It adds
+    gamma*psi_g * sum_a h_a h_a^T to the point system, so A becomes a
+    general SPD 3x3; we then precompute its exact inverse per nonlinear
+    iteration (SolveTerms.ainv) instead of the Sherman-Morrison factors."""
     dtype = g.dtype
     shape = it.shape
+    if (p.gamma > 0.0) != (gc is not None):
+        raise ValueError("gamma > 0 requires grad_constancy_terms (and "
+                         "vice versa); this execution path does not "
+                         "support the gradient-constancy mode")
 
     # Data term weight from the linearized residual.
     r = it + jnp.einsum("cdhw,cdhw->dhw", g, du)
@@ -167,6 +195,25 @@ def compute_terms(g: jax.Array, it: jax.Array, flow: jax.Array,
     sw_inv = 1.0 / sw
     q = psi_d * jnp.sum(g * g, axis=0)
     smt = psi_d * sw_inv / (sw + q)
+
+    ainv = None
+    if gc is not None:
+        # Gradient constancy (Brox et al. 2004): one robust penalizer over
+        # the summed per-axis derivative residuals r_a = gc_it[a] +
+        # gc_g[a].du, weighted by gamma.
+        gc_g, gc_it = gc
+        r_g = gc_it + jnp.einsum("acdhw,cdhw->adhw", gc_g, du)
+        psi_g = jnp.asarray(p.gamma, dtype) * _psi_deriv(
+            jnp.sum(r_g * r_g, axis=0), p.penalizer_grad, p.eps_grad)
+        c = c - jnp.einsum("adhw,acdhw->cdhw", psi_g[None] * gc_it, gc_g)
+        # Full symmetric A = sw*I + psi_d g g^T + psi_g sum_a h_a h_a^T.
+        def a_entry(i, j):
+            e = (psi_d * g[i] * g[j]
+                 + psi_g * jnp.sum(gc_g[:, i] * gc_g[:, j], axis=0))
+            return e + sw if i == j else e
+        ainv = _sym3_inverse(a_entry(0, 0), a_entry(0, 1), a_entry(0, 2),
+                             a_entry(1, 1), a_entry(1, 2), a_entry(2, 2))
+
     if p.terms_dtype != str(dtype):
         # Storage-only downcast of the sweep constants (SURVEY.md §10:
         # bf16 never enters the solver arithmetic — consumers upcast).
@@ -176,7 +223,7 @@ def compute_terms(g: jax.Array, it: jax.Array, flow: jax.Array,
     else:
         g_store = g
     return SolveTerms(c=c, g=g_store, w=w, sw_inv=sw_inv, smt=smt,
-                      psi_s=psi_s, psi_d=psi_d)
+                      psi_s=psi_s, psi_d=psi_d, ainv=ainv)
 
 
 def _du_star(du: jax.Array, t: SolveTerms, ctx: HaloCtx) -> jax.Array:
@@ -186,6 +233,15 @@ def _du_star(du: jax.Array, t: SolveTerms, ctx: HaloCtx) -> jax.Array:
     g = t.g.astype(du.dtype)
     for wd, dnb in zip(t.w, du_nb):
         b = b + wd[None] * dnb
+    if t.ainv is not None:
+        # General SPD system (gradient-constancy mode): x = A^-1 b with
+        # the precomputed symmetric inverse (rows 00,01,02,11,12,22).
+        a = t.ainv
+        return jnp.stack([
+            a[0] * b[0] + a[1] * b[1] + a[2] * b[2],
+            a[1] * b[0] + a[3] * b[1] + a[4] * b[2],
+            a[2] * b[0] + a[4] * b[1] + a[5] * b[2],
+        ])
     gb = jnp.einsum("cdhw,cdhw->dhw", g, b)
     return b * t.sw_inv[None] - g * (gb * t.smt)[None]
 
@@ -206,15 +262,17 @@ def jacobi_sweep(du: jax.Array, t: SolveTerms, omega: float,
 
 def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
                     p: FlowParams, ctx: HaloCtx, parity: jax.Array,
-                    residuals_slot=None):
+                    residuals_slot=None, gc=None):
     """Full inner solve: nonlinearity loop x sweep loop. Returns the flow
     increment (du, dv, dw); optionally records per-sweep residual norms into
-    ``residuals_slot`` (a (inner*sweeps,) array) when track_residuals."""
+    ``residuals_slot`` (a (inner*sweeps,) array) when track_residuals.
+    ``gc``: gradient-constancy terms, required iff p.gamma > 0 — this mode
+    always sweeps on the XLA path (full 3x3 point solve)."""
     du0 = jnp.zeros_like(flow)
     track = residuals_slot is not None
     n_global = 3.0 * ctx.d_global(it.shape[-3]) * it.shape[-2] * it.shape[-1]
     from tpuflow3d.backend import pallas_interpret, use_pallas
-    pallas_sweeps = p.solver == "sor" and use_pallas(p)
+    pallas_sweeps = p.solver == "sor" and use_pallas(p) and p.gamma == 0.0
     if pallas_sweeps:
         interp = pallas_interpret()
     # Color-packed layout needs even W (pairs of lanes per packed lane),
@@ -277,7 +335,7 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
 
     def inner_body(k, carry):
         du, res = carry
-        t = compute_terms(g, it, flow, du, p, ctx)
+        t = compute_terms(g, it, flow, du, p, ctx, gc=gc)
         if packed:
             # Pack du + the sweep constants once per nonlinearity update
             # (exact lane permutation, amortized over p.sweeps sweeps).

@@ -247,5 +247,7 @@ def test_registration_fit_streamed_matches_incore():
     r = np.abs(np.asarray(warp_volume(jnp.asarray(i1), jnp.asarray(flow),
                                       max_disp=2.0)) - i0)
     assert abs(mean_r - r.mean()) < 1e-6
-    assert abs(max_r - r.max()) < 1e-6
+    # max is O(4) here: compare relatively (slab-wise warp arithmetic may
+    # differ from the in-core result in the last few f32 ulps).
+    assert abs(max_r - r.max()) < 1e-6 * max(1.0, r.max())
     assert abs(before - np.abs(i1 - i0).mean()) < 1e-6
