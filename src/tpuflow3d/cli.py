@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="input dtype (uint8/uint16/float32/...)")
     ap.add_argument("--out", default="flow_", help="output path prefix")
     ap.add_argument("--no-magnitude", action="store_true")
+    ap.add_argument("--derived", default=None, metavar="FIELDS",
+                    help="comma list of derived fields to write next to "
+                         "u/v/w: divergence (expansion rate), curl "
+                         "(vorticity, 3 raws), jacdet (det(I+grad s), "
+                         "local volume ratio — the 4D-CT strain measure)")
     ap.add_argument("--preset", choices=sorted(PRESETS), default=None)
     ap.add_argument("--settings", default=None,
                     help="JSON file of FlowParams overrides")
@@ -210,6 +215,34 @@ def _check_path_flags(args) -> None:
              if on]
     if len(modes) > 1:
         raise ValueError(f"{' and '.join(modes)} are mutually exclusive")
+    # Validate --derived BEFORE the (potentially hours-long) solve.
+    _parse_derived(args)
+    if args.derived and args.distributed:
+        raise ValueError(
+            "--derived needs the assembled global flow; the distributed "
+            "path writes per-process slabs. Compute derived fields from "
+            "the written u/v/w raws afterwards (tpuflow3d.postproc).")
+
+
+def _parse_derived(args) -> tuple:
+    if not getattr(args, "derived", None):
+        return ()
+    from tpuflow3d.postproc import DERIVED_FIELDS
+    which = tuple(s.strip() for s in args.derived.split(",") if s.strip())
+    for name in which:
+        if name not in DERIVED_FIELDS:
+            raise ValueError(f"unknown --derived field {name!r}; choose "
+                             f"from {', '.join(DERIVED_FIELDS)}")
+    return which
+
+
+def _write_derived(args, log, prefix: str, flow) -> None:
+    which = _parse_derived(args)
+    if not which:
+        return
+    from tpuflow3d.postproc import write_derived
+    files = write_derived(prefix, np.asarray(flow), which)
+    log.log("derived_written", fields=list(which), files=files)
 
 
 def _auto_mode(args, shape, params, log) -> None:
@@ -512,8 +545,12 @@ def _run_sequence(args, params, log) -> int:
             # pending, bounding host memory to one retained flow field).
             if wfut is not None:
                 wfut.result()
-            wfut = writer.submit(vio.write_flow, prefix, flow,
-                                 magnitude=not args.no_magnitude)
+            def _write_outputs(prefix=prefix, flow=flow):
+                vio.write_flow(prefix, flow,
+                               magnitude=not args.no_magnitude)
+                _write_derived(args, log, prefix, flow)
+
+            wfut = writer.submit(_write_outputs)
             log.log("pair_done", t=t, frame0=args.frames[t], frame1=path,
                     seconds=dt, voxels_per_s=float(np.prod(i0.shape)) / dt,
                     prefix=prefix)
@@ -587,6 +624,7 @@ def _run(args) -> int:
     # never discard the completed flow of a long run.
     vio.write_flow(args.out, flow, magnitude=not args.no_magnitude)
     log.log("written", prefix=args.out)
+    _write_derived(args, log, args.out, flow)
     _pair_diagnostics(args, log, params, i0, i1, flow, include_frames=True)
     return 0
 

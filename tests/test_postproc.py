@@ -1,0 +1,117 @@
+"""Derived-field post-processing (tpuflow3d.postproc): divergence, curl,
+Jacobian determinant — the quantities tomography motion analysis computes
+from the flow (capability extension; the reference writes only
+u/v/w/magnitude, SURVEY.md §5.1)."""
+
+import numpy as np
+import pytest
+
+from tpuflow3d.postproc import (DERIVED_FIELDS, curl, divergence,
+                                jacobian_det, write_derived)
+
+
+def _coords(shape):
+    z, y, x = np.meshgrid(*(np.arange(n, dtype=np.float32) for n in shape),
+                          indexing="ij")
+    return z, y, x
+
+
+def test_divergence_of_linear_field_is_trace():
+    shape = (12, 10, 14)
+    z, y, x = _coords(shape)
+    # s_a = A[a] . (z, y, x): divergence = trace(A) everywhere.
+    A = np.array([[0.2, 0.1, -0.3], [0.0, -0.4, 0.25], [0.5, 0.0, 0.1]],
+                 np.float32)
+    flow = np.stack([A[a, 0] * z + A[a, 1] * y + A[a, 2] * x
+                     for a in range(3)])
+    div = divergence(flow)
+    interior = div[1:-1, 1:-1, 1:-1]
+    np.testing.assert_allclose(interior, np.trace(A), atol=1e-5)
+    # Replicate-edge convention: boundary central diffs are half-slope.
+    assert abs(div[0, 5, 5] - (0.5 * A[0, 0] + A[1, 1] + A[2, 2])) < 1e-5
+
+
+def test_curl_of_rigid_rotation_is_twice_omega():
+    shape = (12, 12, 12)
+    z, y, x = _coords(shape)
+    # Rotation with angular velocity w about the z axis (axis 0), centered:
+    # s = omega x r with omega = (w, 0, 0) in (z,y,x) components ->
+    # s_y = -w*(x-cx)... using eps over (z,y,x) indices consistently.
+    w = 0.05
+    cy, cx = 5.5, 5.5
+    flow = np.stack([np.zeros(shape, np.float32),
+                     w * (x - cx),
+                     -w * (y - cy)]).astype(np.float32)
+    c = curl(flow)
+    interior = (slice(1, -1),) * 3
+    np.testing.assert_allclose(c[0][interior], -2.0 * w, atol=1e-5)
+    np.testing.assert_allclose(c[1][interior], 0.0, atol=1e-5)
+    np.testing.assert_allclose(c[2][interior], 0.0, atol=1e-5)
+
+
+def test_jacdet_of_uniform_scaling():
+    shape = (10, 10, 10)
+    z, y, x = _coords(shape)
+    s = 0.1  # x -> (1+s) x: volume ratio (1+s)^3
+    flow = np.stack([s * z, s * y, s * x])
+    jd = jacobian_det(flow)
+    interior = jd[1:-1, 1:-1, 1:-1]
+    np.testing.assert_allclose(interior, (1 + s) ** 3, rtol=1e-5)
+
+
+def test_jacdet_of_zero_flow_is_one():
+    jd = jacobian_det(np.zeros((3, 6, 6, 6), np.float32))
+    np.testing.assert_allclose(jd, 1.0)
+
+
+def test_write_derived_files(tmp_path):
+    rng = np.random.default_rng(0)
+    flow = rng.normal(size=(3, 8, 8, 8)).astype(np.float32)
+    prefix = str(tmp_path / "f_")
+    files = write_derived(prefix, flow, DERIVED_FIELDS)
+    assert len(files) == 5  # div + 3 curl components + jacdet
+    got = np.fromfile(f"{prefix}divergence.raw",
+                      np.float32).reshape(8, 8, 8)
+    np.testing.assert_allclose(got, divergence(flow), atol=0)
+    # curl uses the u/v/w (x/y/z) suffix convention: curl_u = component 2.
+    cu = np.fromfile(f"{prefix}curl_u.raw", np.float32).reshape(8, 8, 8)
+    np.testing.assert_allclose(cu, curl(flow)[2], atol=0)
+    with pytest.raises(ValueError, match="unknown derived"):
+        write_derived(prefix, flow, ("nope",))
+
+
+def test_cli_derived_end_to_end(tmp_path):
+    """--derived through the real CLI on a tiny pair."""
+    from tpuflow3d import synthetic as syn
+    from tpuflow3d import volume as vio
+    from tpuflow3d.cli import main
+
+    shape = (16, 12, 12)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 0.5)),
+                              seed=1)
+    f0, f1 = str(tmp_path / "a.raw"), str(tmp_path / "b.raw")
+    vio.write_raw(f0, i0)
+    vio.write_raw(f1, i1)
+    out = str(tmp_path / "flow_")
+    rc = main(["--frame0", f0, "--frame1", f1, "--out", out,
+               "--levels", "2", "--warps", "1", "--sweeps", "3",
+               "--inner-iterations", "1", "--derived", "divergence,jacdet",
+               "--incore"])
+    assert rc == 0
+    for name in ("divergence", "jacdet"):
+        arr = np.fromfile(f"{out}{name}.raw", np.float32)
+        assert arr.size == np.prod(shape)
+
+
+def test_cli_derived_validated_before_solve(tmp_path):
+    from tpuflow3d.cli import main
+    rc = main(["--frame0", "missing.raw", "--frame1", "missing.raw",
+               "--derived", "bogus"])
+    assert rc != 0
+
+
+def test_cli_derived_rejected_with_distributed():
+    from tpuflow3d.cli import main
+    rc = main(["--frame0", "a.raw", "--frame1", "b.raw", "--distributed",
+               "--derived", "divergence"])
+    assert rc != 0
