@@ -111,6 +111,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "budget is unknown)")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="save/resume the flow at pyramid-level boundaries")
+    ap.add_argument("--check-consistency", action="store_true",
+                    help="also solve the reverse pair and write the "
+                         "forward-backward consistency error map "
+                         "(<out>consistency.raw, voxels) — the standard "
+                         "flow-reliability/occlusion diagnostic. Doubles "
+                         "solve time")
     ap.add_argument("--residuals", action="store_true",
                     help="log per-sweep residual curves")
     ap.add_argument("--timings", action="store_true",
@@ -222,6 +228,11 @@ def _check_path_flags(args) -> None:
             "--derived needs the assembled global flow; the distributed "
             "path writes per-process slabs. Compute derived fields from "
             "the written u/v/w raws afterwards (tpuflow3d.postproc).")
+    if args.check_consistency and (args.distributed or args.frames):
+        raise ValueError(
+            "--check-consistency supports the single-pair paths only "
+            "(solve each direction explicitly for series/distributed "
+            "runs and use tpuflow3d.postproc.consistency_error)")
 
 
 def _parse_derived(args) -> tuple:
@@ -625,6 +636,18 @@ def _run(args) -> int:
     vio.write_flow(args.out, flow, magnitude=not args.no_magnitude)
     log.log("written", prefix=args.out)
     _write_derived(args, log, args.out, flow)
+    if args.check_consistency:
+        from tpuflow3d.postproc import consistency_error
+        # Reverse solve reuses the compiled executable (same shapes/params).
+        flow_bwd, _ = _solve_pair(args, params, i1, i0, log, None,
+                                  checkpoint_dir=None)
+        err = consistency_error(flow, flow_bwd, interp=params.interp)
+        vio.write_raw(f"{args.out}consistency.raw", err.astype(np.float32))
+        frac = float((err > 1.0).mean())
+        log.log("consistency", mean=float(err.mean()), max=float(err.max()),
+                frac_above_1vox=frac, path=f"{args.out}consistency.raw")
+        print(f"tpuflow3d: fwd-bwd consistency mean {err.mean():.4f} vox, "
+              f"{100 * frac:.2f}% above 1 voxel", file=sys.stderr)
     _pair_diagnostics(args, log, params, i0, i1, flow, include_frames=True)
     return 0
 

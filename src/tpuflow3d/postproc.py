@@ -78,6 +78,28 @@ def jacobian_det(flow: np.ndarray) -> np.ndarray:
             + j[0, 2] * (j[1, 0] * j[2, 1] - j[1, 1] * j[2, 0]))
 
 
+def consistency_error(flow_fwd: np.ndarray, flow_bwd: np.ndarray,
+                      interp: str = "trilinear") -> np.ndarray:
+    """Forward-backward consistency error map (voxels).
+
+    e(x) = | s_f(x) + s_b(x + s_f(x)) |  — zero wherever the forward and
+    backward solves agree (for a diffeomorphic true motion,
+    s_b(x + s_f(x)) = -s_f(x)); large where matching failed or material
+    became occluded/disoccluded between frames. The standard flow
+    reliability/occlusion diagnostic; thresholding this map gives an
+    occlusion mask. Runs the same trilinear sampling as the solver's warp
+    op (device-jitted, one pass)."""
+    import jax.numpy as jnp
+
+    from tpuflow3d.warp import warp_volume
+
+    ff = jnp.asarray(flow_fwd)
+    fb = jnp.asarray(flow_bwd)
+    bw = jnp.stack([warp_volume(fb[c], ff, interp=interp)
+                    for c in range(3)])
+    return np.asarray(jnp.sqrt(jnp.sum((ff + bw) ** 2, axis=0)))
+
+
 def write_derived(prefix: str, flow: np.ndarray, which) -> list[str]:
     """Compute and write the requested derived fields next to the flow
     outputs. ``which``: iterable of names from DERIVED_FIELDS. Returns the

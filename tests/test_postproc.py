@@ -115,3 +115,50 @@ def test_cli_derived_rejected_with_distributed():
     rc = main(["--frame0", "a.raw", "--frame1", "b.raw", "--distributed",
                "--derived", "divergence"])
     assert rc != 0
+
+
+def test_consistency_error_zero_for_inverse_pair():
+    from tpuflow3d.postproc import consistency_error
+    shape = (10, 10, 10)
+    fwd = np.zeros((3, *shape), np.float32)
+    fwd[0], fwd[1], fwd[2] = 0.5, -0.25, 1.0
+    err = consistency_error(fwd, -fwd)
+    # Constant fields: the warp samples the same constant everywhere.
+    np.testing.assert_allclose(err, 0.0, atol=1e-6)
+
+
+def test_consistency_error_flags_disagreement():
+    from tpuflow3d.postproc import consistency_error
+    shape = (8, 8, 8)
+    fwd = np.full((3, *shape), 0.5, np.float32)
+    bwd = np.zeros((3, *shape), np.float32)  # inconsistent backward flow
+    err = consistency_error(fwd, bwd)
+    np.testing.assert_allclose(err, np.sqrt(3 * 0.25), atol=1e-5)
+
+
+def test_cli_check_consistency(tmp_path):
+    from tpuflow3d import synthetic as syn
+    from tpuflow3d import volume as vio
+    from tpuflow3d.cli import main
+
+    shape = (16, 12, 12)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 0.5)),
+                              seed=2)
+    f0, f1 = str(tmp_path / "a.raw"), str(tmp_path / "b.raw")
+    vio.write_raw(f0, i0)
+    vio.write_raw(f1, i1)
+    out = str(tmp_path / "flow_")
+    rc = main(["--frame0", f0, "--frame1", f1, "--out", out,
+               "--levels", "2", "--warps", "1", "--sweeps", "5",
+               "--inner-iterations", "1", "--check-consistency",
+               "--incore"])
+    assert rc == 0
+    err = np.fromfile(f"{out}consistency.raw", np.float32).reshape(shape)
+    # A clean translation is fwd-bwd consistent away from the faces.
+    assert np.median(err[4:-4, 3:-3, 3:-3]) < 0.25
+
+
+def test_cli_check_consistency_rejected_with_frames():
+    from tpuflow3d.cli import main
+    rc = main(["--frames", "a.raw", "b.raw", "--check-consistency"])
+    assert rc != 0
