@@ -104,6 +104,17 @@ _register(OpSpec(
     reference="derivative stencil kernels (part of solve pipeline)",
     doc="Spatiotemporal central-difference stencils on (I0 + warped I1)/2."))
 
+_register(OpSpec(
+    name="grad_constancy",
+    fn=_derivatives.grad_constancy_terms,
+    z_halo="2 planes (two chained central diffs; 4 at deriv_order=4)",
+    bytes_per_voxel=8 + 36 + 12,  # read I0,I1w; write gc_g(9)+gc_it(3)
+    reference="none (capability extension: Brox 2004 gradient constancy; "
+              "active when params.gamma > 0)",
+    doc="Second-derivative linearization terms of the gradient-constancy "
+        "assumption; feeds the full symmetric 3x3 point solve "
+        "(solver.SolveTerms.ainv)."))
+
 def _solve_bytes(packed: bool) -> float:
     # Single source of truth with the bench roofline (utils/roofline.py):
     # the production color-packed Pallas kernel streams 36 B/voxel per

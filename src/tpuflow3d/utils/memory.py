@@ -33,7 +33,13 @@ def incore_peak_bytes(shape, p) -> int:
     itemsize = np.dtype(p.dtype).itemsize
     pyramids = 2 * sum(int(np.prod(s)) for s in shapes)
     finest = int(np.prod(shapes[0]))
-    return int((pyramids + _FIELDS_PER_VOXEL * finest) * itemsize * _SLACK)
+    fields = _FIELDS_PER_VOXEL
+    if p.gamma > 0.0:
+        # Gradient-constancy mode: gc_g(9) + gc_it(3) live across the
+        # inner solve, plus the symmetric A^-1 (6) replacing smt/sw_inv's
+        # role (those two stay in the terms tuple but are dead).
+        fields += 9 + 3 + 6
+    return int((pyramids + fields * finest) * itemsize * _SLACK)
 
 
 # Fallbacks when the runtime exposes no memory_stats (keyed on substrings
