@@ -43,7 +43,9 @@ def central_diff4(x: jax.Array, axis: int,
 
 def grad_constancy_terms(i0: jax.Array, i1w: jax.Array,
                          ctx: HaloCtx = HaloCtx(),
-                         order: int = 2) -> tuple[jax.Array, jax.Array]:
+                         order: int = 2,
+                         g: jax.Array | None = None
+                         ) -> tuple[jax.Array, jax.Array]:
     """Linearization terms of the gradient-constancy assumption (Brox et
     al. 2004; a capability EXTENSION over the reference's intensity-only
     data term — SURVEY.md §2 lists no gamma term).
@@ -57,15 +59,18 @@ def grad_constancy_terms(i0: jax.Array, i1w: jax.Array,
     Returns (gc_g, gc_it): gc_g (3, 3, D, H, W) indexed [a, component],
     gc_it (3, D, H, W). Same averaged-volume / replicate-edge conventions
     as ``derivatives``; Z margins through HaloCtx so the sharded path is
-    halo-correct."""
+    halo-correct. Pass ``g`` (the gradient ``derivatives`` already
+    produced from the same (i0, i1w)) to reuse it as the inner first
+    derivative instead of recomputing diff(ibar, a)."""
     diff = central_diff if order == 2 else central_diff4
-    ibar = 0.5 * (i0 + i1w)
     axes = (Z_AXIS, -2, -1)
+    if g is None:
+        ibar = 0.5 * (i0 + i1w)
+        g = jnp.stack([diff(ibar, a, ctx) for a in axes])
     gc_g = []
     gc_it = []
-    for a in axes:
-        da_bar = diff(ibar, a, ctx)
-        gc_g.append(jnp.stack([diff(da_bar, b, ctx) for b in axes]))
+    for i, a in enumerate(axes):
+        gc_g.append(jnp.stack([diff(g[i], b, ctx) for b in axes]))
         gc_it.append(diff(i1w, a, ctx) - diff(i0, a, ctx))
     return jnp.stack(gc_g), jnp.stack(gc_it)
 

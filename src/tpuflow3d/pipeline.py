@@ -67,7 +67,8 @@ def solve_level(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx,
             g, it = derivatives(i0l, i1w, ctx, order=p.deriv_order)
             if p.gamma > 0.0:
                 from tpuflow3d.derivatives import grad_constancy_terms
-                gc = grad_constancy_terms(i0l, i1w, ctx, order=p.deriv_order)
+                gc = grad_constancy_terms(i0l, i1w, ctx,
+                                          order=p.deriv_order, g=g)
         slot = res[wi] if track else None
         du, slot_out = solve_increment(g, it, flow, p, ctx, parity, slot,
                                        gc=gc)

@@ -9,10 +9,11 @@ analysis). The reference CLI writes only u/v/w/magnitude (SURVEY.md
 §5.1); these are a capability extension on the same output convention:
 one headerless ``.raw`` per scalar field.
 
-Host-side numpy on purpose: one streaming pass over the finished flow
-(IO-adjacent, runs once per job), memory-safe for out-of-core results
-that never fit on the device, and identical across all execution paths.
-Stencils match the solver's convention (central differences with
+Host-side numpy on purpose: IO-adjacent, runs once per job, identical
+across all execution paths. Every op streams Z-chunks (replicate-edge
+margins) so peak temporaries are per-slab — out-of-core flow results
+barely fit in host RAM, and a nine-temporary full-volume Jacobian would
+not. Stencils match the solver's convention (central differences with
 replicate edges -> half-slope at the boundary, SURVEY.md §10).
 """
 
@@ -27,6 +28,31 @@ DERIVED_FIELDS = ("divergence", "curl", "jacdet")
 # channel 2 to u (x), 1 to v (y), 0 to w (z).
 
 
+def _slab(x: np.ndarray, lo: int, size: int) -> np.ndarray:
+    """Host window [lo, lo+size) along axis -3 with edge replication
+    (same convention as piecewise._host_slab)."""
+    d = x.shape[-3]
+    idx = np.clip(np.arange(lo, lo + size), 0, d - 1)
+    return np.take(x, idx, axis=-3)
+
+
+def _stream_z(fn, flow: np.ndarray, out_channels: int,
+              chunk_z: int = 64) -> np.ndarray:
+    """Apply a radius-1 stencil op per Z-chunk. Each slab carries one real
+    margin plane per side (replicate at global faces), so the stitched
+    result is exactly the full-volume computation while temporaries stay
+    per-slab."""
+    d = flow.shape[-3]
+    shape = flow.shape[1:]
+    out = np.empty((out_channels, *shape) if out_channels > 1 else shape,
+                   flow.dtype)
+    for z0 in range(0, d, chunk_z):
+        z1 = min(z0 + chunk_z, d)
+        r = fn(_slab(flow, z0 - 1, (z1 - z0) + 2))
+        out[..., z0:z1, :, :] = r[..., 1:1 + (z1 - z0), :, :]
+    return out
+
+
 def _cdiff(x: np.ndarray, axis: int) -> np.ndarray:
     """Central difference with replicate edges (half-slope boundary),
     matching derivatives.central_diff."""
@@ -38,22 +64,20 @@ def _cdiff(x: np.ndarray, axis: int) -> np.ndarray:
     return ((fwd - bwd) * 0.5).astype(x.dtype)
 
 
-def divergence(flow: np.ndarray) -> np.ndarray:
-    """div s = sum_a d(s_a)/d(axis_a): positive where the material locally
-    expands between frames."""
-    flow = np.asarray(flow)
+def _div_impl(flow: np.ndarray) -> np.ndarray:
     out = _cdiff(flow[0], 0)
     for a in (1, 2):
         out += _cdiff(flow[a], a)
     return out
 
 
-def curl(flow: np.ndarray) -> np.ndarray:
-    """Vorticity curl s, components in the same (z, y, x) channel order as
-    the flow: curl[i] = eps_ijk d_j s_k over axis indices (0,1,2)=(z,y,x).
-    For a rigid rotation of angular velocity vector omega (in that basis),
-    curl = 2*omega."""
-    flow = np.asarray(flow)
+def divergence(flow: np.ndarray, chunk_z: int = 64) -> np.ndarray:
+    """div s = sum_a d(s_a)/d(axis_a): positive where the material locally
+    expands between frames."""
+    return _stream_z(_div_impl, np.asarray(flow), 1, chunk_z)
+
+
+def _curl_impl(flow: np.ndarray) -> np.ndarray:
     d = {(j, k): _cdiff(flow[k], j)
          for j in range(3) for k in range(3) if j != k}
     return np.stack([
@@ -63,23 +87,39 @@ def curl(flow: np.ndarray) -> np.ndarray:
     ])
 
 
-def jacobian_det(flow: np.ndarray) -> np.ndarray:
+def curl(flow: np.ndarray, chunk_z: int = 64) -> np.ndarray:
+    """Vorticity curl s, components in the same (z, y, x) channel order as
+    the flow: curl[i] = eps_ijk d_j s_k over axis indices (0,1,2)=(z,y,x).
+    For a rigid rotation of angular velocity vector omega (in that basis),
+    curl = 2*omega."""
+    return _stream_z(_curl_impl, np.asarray(flow), 3, chunk_z)
+
+
+def _jacdet_impl(flow: np.ndarray) -> np.ndarray:
+    def j(c, a):
+        e = _cdiff(flow[c], a)
+        if c == a:
+            e += 1.0
+        return e
+
+    # Cofactor expansion along row 0 (slab-local, so temporaries are cheap).
+    j10, j11, j12 = j(1, 0), j(1, 1), j(1, 2)
+    j20, j21, j22 = j(2, 0), j(2, 1), j(2, 2)
+    det = j(0, 0) * (j11 * j22 - j12 * j21)
+    det -= j(0, 1) * (j10 * j22 - j12 * j20)
+    det += j(0, 2) * (j10 * j21 - j11 * j20)
+    return det
+
+
+def jacobian_det(flow: np.ndarray, chunk_z: int = 64) -> np.ndarray:
     """det(I + grad s) of the deformation x -> x + s(x): the local volume
     ratio (1 = incompressible, <1 compression, >1 expansion)."""
-    flow = np.asarray(flow)
-    j = np.empty((3, 3) + flow.shape[1:], flow.dtype)
-    for c in range(3):
-        for a in range(3):
-            j[c, a] = _cdiff(flow[c], a)
-            if c == a:
-                j[c, a] += 1.0
-    return (j[0, 0] * (j[1, 1] * j[2, 2] - j[1, 2] * j[2, 1])
-            - j[0, 1] * (j[1, 0] * j[2, 2] - j[1, 2] * j[2, 0])
-            + j[0, 2] * (j[1, 0] * j[2, 1] - j[1, 1] * j[2, 0]))
+    return _stream_z(_jacdet_impl, np.asarray(flow), 1, chunk_z)
 
 
 def consistency_error(flow_fwd: np.ndarray, flow_bwd: np.ndarray,
-                      interp: str = "trilinear") -> np.ndarray:
+                      interp: str = "trilinear",
+                      chunk_z: int = 64) -> np.ndarray:
     """Forward-backward consistency error map (voxels).
 
     e(x) = | s_f(x) + s_b(x + s_f(x)) |  — zero wherever the forward and
@@ -87,17 +127,45 @@ def consistency_error(flow_fwd: np.ndarray, flow_bwd: np.ndarray,
     s_b(x + s_f(x)) = -s_f(x)); large where matching failed or material
     became occluded/disoccluded between frames. The standard flow
     reliability/occlusion diagnostic; thresholding this map gives an
-    occlusion mask. Runs the same trilinear sampling as the solver's warp
-    op (device-jitted, one pass)."""
+    occlusion mask.
+
+    Streams Z-chunks through the solver's warp op (piecewise-style window
+    HaloCtx), so the device never holds both full flow fields — safe after
+    out-of-core solves whose volumes exceed device memory. The warp margin
+    is taken from the actual forward field (it bounds the Z reach of the
+    backward-flow samples)."""
+    from functools import partial
+
+    import jax
     import jax.numpy as jnp
 
+    from tpuflow3d.grid import HaloCtx
     from tpuflow3d.warp import warp_volume
 
-    ff = jnp.asarray(flow_fwd)
-    fb = jnp.asarray(flow_bwd)
-    bw = jnp.stack([warp_volume(fb[c], ff, interp=interp)
-                    for c in range(3)])
-    return np.asarray(jnp.sqrt(jnp.sum((ff + bw) ** 2, axis=0)))
+    ff = np.asarray(flow_fwd, np.float32)
+    fb = np.asarray(flow_bwd, np.float32)
+    d = ff.shape[-3]
+    mw = (int(np.ceil(float(np.abs(ff[0]).max()))) + 1
+          + (1 if interp == "tricubic" else 0))
+    chunk = min(chunk_z, d)
+    size = chunk + 2 * mw
+
+    @partial(jax.jit, static_argnames=("dg", "interp"))
+    def _chunk(ffs, fbs, z0, dg: int, interp: str):
+        ctx = HaloCtx(window_z0=z0, window_d_global=dg)
+        bw = jnp.stack([warp_volume(fbs[c], ffs, ctx, interp=interp)
+                        for c in range(3)])
+        return jnp.sqrt(jnp.sum((ffs + bw) ** 2, axis=0))
+
+    out = np.empty(ff.shape[1:], np.float32)
+    for z0 in range(0, d, chunk):
+        z1 = min(z0 + chunk, d)
+        lo = z0 - mw
+        r = np.asarray(_chunk(jnp.asarray(_slab(ff, lo, size)),
+                              jnp.asarray(_slab(fb, lo, size)),
+                              jnp.int32(lo), d, interp))
+        out[z0:z1] = r[mw:mw + (z1 - z0)]
+    return out
 
 
 def write_derived(prefix: str, flow: np.ndarray, which) -> list[str]:

@@ -105,16 +105,18 @@ def test_negative_gamma_rejected():
         FlowParams(gamma=-0.1)
 
 
-def test_gamma_zero_end_to_end_unchanged():
-    """gamma=0 must be bit-identical to the pre-gamma pipeline (the gc
-    branch is statically absent)."""
+def test_small_gamma_limit_matches_gamma_zero():
+    """gamma -> 0 must converge to the intensity-only solve: the general
+    3x3 path with a vanishing gc weight and the Sherman-Morrison path with
+    no gc branch are different programs, so this gates both the gc system
+    assembly (a wrong A would not vanish with gamma) and the dispatch."""
     shape = (24, 16, 16)
     i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 0.5)),
                               seed=5)
     p = FlowParams(levels=2, warps=1, inner_iterations=1, sweeps=5)
     a = np.asarray(compute_flow(i0, i1, p))
-    b = np.asarray(compute_flow(i0, i1, p.replace(gamma=0.0)))
-    np.testing.assert_array_equal(a, b)
+    b = np.asarray(compute_flow(i0, i1, p.replace(gamma=1e-7)))
+    np.testing.assert_allclose(b, a, atol=1e-4)
 
 
 def test_gamma_recovers_translation():

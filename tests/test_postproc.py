@@ -162,3 +162,22 @@ def test_cli_check_consistency_rejected_with_frames():
     from tpuflow3d.cli import main
     rc = main(["--frames", "a.raw", "b.raw", "--check-consistency"])
     assert rc != 0
+
+
+def test_streamed_ops_independent_of_chunk_size():
+    """Z-streamed derived ops must stitch exactly: results identical for
+    any chunk size (margin planes carry the stencil across seams)."""
+    from tpuflow3d.postproc import consistency_error
+    rng = np.random.default_rng(5)
+    flow = rng.normal(size=(3, 19, 10, 12)).astype(np.float32) * 0.8
+    bwd = rng.normal(size=(3, 19, 10, 12)).astype(np.float32) * 0.8
+    for fn in (divergence, curl, jacobian_det):
+        a = fn(flow, chunk_z=4)
+        b = fn(flow, chunk_z=64)
+        np.testing.assert_array_equal(a, b)
+    # The warp computes sample coordinates in the slab-local frame, so
+    # chunk size shifts the float addends by whole integers — agreement is
+    # ulp-level, not bitwise.
+    ca = consistency_error(flow, bwd, chunk_z=5)
+    cb = consistency_error(flow, bwd, chunk_z=64)
+    np.testing.assert_allclose(ca, cb, atol=1e-5, rtol=1e-5)
