@@ -28,6 +28,12 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--configs", nargs="*", default=None,
                     help="subset of config names to run")
+    ap.add_argument("--stepped", action="store_true",
+                    help="run levels as separate jits "
+                         "(compute_flow_checkpointed) instead of one "
+                         "fused program — works around the emulated "
+                         "chip's execution fault on the tricubic 256^3 "
+                         "monolithic program (VALIDATION.md)")
     args = ap.parse_args()
     size = 128 if args.quick else args.size
 
@@ -36,7 +42,7 @@ def main():
 
     from tpuflow3d import synthetic as syn
     from tpuflow3d.params import FlowParams
-    from tpuflow3d.pipeline import compute_flow
+    from tpuflow3d.pipeline import compute_flow, compute_flow_checkpointed
 
     shape = (size, size, size)
     shift = (1.5, -1.0, 0.75)
@@ -123,6 +129,20 @@ def main():
                                                warps=6, sweeps=40,
                                                interp="tricubic",
                                                residual_tol=1e-6)),
+        # Round-3 bisect of the 256^3 tricubic emulator fault: which
+        # ingredient of tricubic_warps8_restol trips the device?
+        ("tricubic_base", base.replace(interp="tricubic")),
+        ("tricubic_w8s30", base.replace(interp="tricubic", warps=8,
+                                        sweeps=30)),
+        ("tricubic_restol_xla", base.replace(interp="tricubic", warps=8,
+                                             sweeps=60, residual_tol=1e-6,
+                                             backend="xla")),
+        # Round-3: bf16-terms cost at the CONVERGED config (VERDICT r2 weak
+        # #4) — the f32 twin is warps8_restol (2.4e-3 floor); the delta is
+        # the mode's true accuracy cost in the regime that matters.
+        ("warps8_restol_bf16terms", base.replace(warps=8, sweeps=60,
+                                                 residual_tol=1e-6,
+                                                 terms_dtype="bfloat16")),
     ]
     if args.quick:
         configs = configs[:3]
@@ -134,7 +154,8 @@ def main():
         for name, p in configs:
             t0 = time.perf_counter()
             try:
-                flow = compute_flow(i0d, i1d, p)
+                flow = (compute_flow_checkpointed(i0d, i1d, p)
+                        if args.stepped else compute_flow(i0d, i1d, p))
                 mean, mx, n = epe_device(flow)
                 mean, mx, n = float(mean), float(mx), int(n)
                 flow = None
@@ -142,7 +163,8 @@ def main():
                 print(f"study: {name} FAILED {type(e).__name__}: {e}",
                       file=sys.stderr, flush=True)
                 continue
-            row = {"config": name, "size": size, "epe_mean": round(mean, 6),
+            row = {"config": name + ("_stepped" if args.stepped else ""),
+                   "size": size, "epe_mean": round(mean, 6),
                    "epe_max": round(mx, 4), "textured_voxels": n,
                    "seconds": round(time.perf_counter() - t0, 1),
                    "params": {k: getattr(p, k) for k in

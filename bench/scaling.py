@@ -29,6 +29,11 @@ def main():
                     help="force the virtual-CPU fleet")
     ap.add_argument("--csv", default=None)
     ap.add_argument("--sweeps", type=int, default=10)
+    ap.add_argument("--ablate-comm", action="store_true",
+                    help="also time each row with collectives replaced by "
+                         "local fallbacks (HaloCtx.comm_ablate) and report "
+                         "the communication share of step time")
+    ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
     if args.cpu:
@@ -59,21 +64,38 @@ def main():
         i0, i1, _ = syn.make_pair(shape, syn.translation((1.0, -0.5, 0.5)),
                                   n_blobs=20, seed=0)
         mesh = make_z_mesh(n)
-        flow = compute_flow_sharded(i0, i1, p, mesh)  # compile + warmup
-        flow.block_until_ready()
-        t0 = time.perf_counter()
-        reps = 2
-        for _ in range(reps):
-            flow = compute_flow_sharded(i0, i1, p, mesh)
+
+        def timed(ablate=False):
+            flow = compute_flow_sharded(i0, i1, p, mesh,
+                                        _comm_ablate=ablate)  # warmup
             flow.block_until_ready()
-        dt = (time.perf_counter() - t0) / reps
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                flow = compute_flow_sharded(i0, i1, p, mesh,
+                                            _comm_ablate=ablate)
+                flow.block_until_ready()
+            return (time.perf_counter() - t0) / args.reps
+
+        dt = timed()
         vps = float(np.prod(shape)) / dt
         if base_vps is None:
             base_vps = vps
         eff = vps / (base_vps * n)
+        # On an oversubscribed host (virtual devices > physical cores) the
+        # achievable weak-scaling ceiling is cores/devices: n virtual
+        # devices share ncores threads, so perfect machinery still loses
+        # (n - cores)/n of throughput to timeslicing.
+        ncores = os.cpu_count() or 1
+        ceiling = min(1.0, ncores / n) if args.cpu else 1.0
         row = {"devices": n, "shape": list(shape), "seconds": round(dt, 4),
                "voxels_per_s": round(vps, 1),
-               "weak_scaling_efficiency": round(eff, 4)}
+               "weak_scaling_efficiency": round(eff, 4),
+               "host_ceiling": round(ceiling, 4),
+               "efficiency_vs_ceiling": round(eff / ceiling, 4)}
+        if args.ablate_comm:
+            dt_nc = timed(ablate=True)
+            row["seconds_no_comm"] = round(dt_nc, 4)
+            row["comm_share"] = round(max(0.0, 1.0 - dt_nc / dt), 4)
         rows.append(row)
         print(json.dumps(row), flush=True)
 

@@ -71,6 +71,13 @@ class HaloCtx:
     n_shards: int = 1
     window_z0: object = None       # traced global z of slab plane 0, or None
     window_d_global: Optional[int] = None
+    # Diagnostic switch (bench/scaling.py --ablate-comm): replace every
+    # collective with its local fallback (replicate-pad halos, identity
+    # reductions) while keeping the per-shard program otherwise identical.
+    # Numerically WRONG across shard boundaries by construction — only for
+    # measuring the communication share of step time (comm share =
+    # 1 - t_ablated / t_full), never for real runs.
+    comm_ablate: bool = False
 
     # ---- topology ----
 
@@ -108,7 +115,8 @@ class HaloCtx:
         faces (via collective-permute), edge replication on global faces."""
         if nh == 0:
             return x
-        if self.axis_name is None or self.n_shards == 1:
+        if (self.axis_name is None or self.n_shards == 1
+                or self.comm_ablate):
             return replicate_pad(x, nh, axis=Z_AXIS)
 
         d_local = x.shape[Z_AXIS]
@@ -141,7 +149,8 @@ class HaloCtx:
         instead of a concatenated pad."""
         lo_rep = _edge_planes(x, 1, "lo")
         hi_rep = _edge_planes(x, 1, "hi")
-        if self.axis_name is None or self.n_shards == 1:
+        if (self.axis_name is None or self.n_shards == 1
+                or self.comm_ablate):
             return lo_rep, hi_rep
         n = self.n_shards
         up = [(i, i + 1) for i in range(n - 1)]
@@ -168,13 +177,19 @@ class HaloCtx:
     # ---- collectives over the Z mesh ----
 
     def psum(self, v):
-        return lax.psum(v, self.axis_name) if self.axis_name else v
+        if self.axis_name is None or self.comm_ablate:
+            return v
+        return lax.psum(v, self.axis_name)
 
     def pmin(self, v):
-        return lax.pmin(v, self.axis_name) if self.axis_name else v
+        if self.axis_name is None or self.comm_ablate:
+            return v
+        return lax.pmin(v, self.axis_name)
 
     def pmax(self, v):
-        return lax.pmax(v, self.axis_name) if self.axis_name else v
+        if self.axis_name is None or self.comm_ablate:
+            return v
+        return lax.pmax(v, self.axis_name)
 
     def pmean_of_sum(self, local_sum, global_count: float):
         return self.psum(local_sum) / global_count

@@ -59,12 +59,14 @@ def prepare_params(params: FlowParams, n_shards: int) -> FlowParams:
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_fn(params: FlowParams, mesh: Mesh, diagnostics: bool):
+def _sharded_fn(params: FlowParams, mesh: Mesh, diagnostics: bool,
+                comm_ablate: bool = False):
     # Memoized so repeated same-config solves (time-series mode, resumed
     # distributed runs) reuse one jit wrapper — and therefore one compiled
     # executable — instead of re-tracing per pair.
     n = mesh.shape[Z_AXIS_NAME]
-    ctx = HaloCtx(axis_name=Z_AXIS_NAME, n_shards=n)
+    ctx = HaloCtx(axis_name=Z_AXIS_NAME, n_shards=n,
+                  comm_ablate=comm_ablate)
     vol_spec = P(Z_AXIS_NAME, None, None)
     flow_spec = P(None, Z_AXIS_NAME, None, None)
     out_specs = (flow_spec, P()) if diagnostics else flow_spec
@@ -133,7 +135,7 @@ def compute_flow_sharded(i0, i1, params: FlowParams = FlowParams(),
                          mesh: Mesh | None = None,
                          diagnostics: bool = False,
                          checkpoint_dir: str | None = None,
-                         timer=None):
+                         timer=None, _comm_ablate: bool = False):
     """Z-sharded dense 3D optical flow over a device mesh.
 
     i0/i1: (D, H, W) with D divisible by the mesh size (pad upstream via
@@ -164,7 +166,10 @@ def compute_flow_sharded(i0, i1, params: FlowParams = FlowParams(),
                              "separate jits)")
         return _compute_flow_sharded_checkpointed(i0, i1, params, mesh,
                                                   checkpoint_dir, timer)
-    return _sharded_fn(params, mesh, diagnostics)(i0, i1)
+    # _comm_ablate (bench/scaling.py --ablate-comm only): same program with
+    # collectives replaced by local fallbacks — numerically wrong across
+    # shard boundaries, used solely to measure the communication share.
+    return _sharded_fn(params, mesh, diagnostics, _comm_ablate)(i0, i1)
 
 
 def _flow_sharding(mesh: Mesh) -> NamedSharding:

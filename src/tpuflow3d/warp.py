@@ -65,9 +65,18 @@ def _trilinear_gather(vol: jax.Array, cz, cy, cx) -> jax.Array:
     return c0 * (1 - fz) + c1 * fz
 
 
-# Volume size (bytes) above which the tricubic gather rolls its tap loop
-# (module constant so tests can exercise the rolled path at small sizes).
+# Volume size (bytes) above which the tricubic gather streams its output in
+# Z-chunks (module constant so tests can exercise the chunked path at small
+# sizes). Z-chunking bounds the gather's concurrent temporaries to one
+# chunk's worth — 64 concurrent full-volume gather buffers exceed single-chip
+# HBM at 256^3+, and even the rolled 16-pair tap loop faults the emulated
+# chip inside the full level program (VALIDATION.md); per-chunk unrolled
+# gathers keep the working set ~MBs regardless of volume size.
 _TRICUBIC_ROLL_BYTES = 128 << 20
+
+# Target bytes per streamed output chunk (~16 MB -> 64 concurrent gather
+# temporaries stay under ~1 GB at f32).
+_TRICUBIC_CHUNK_BYTES = 16 << 20
 
 
 def _cubic_weights(f):
@@ -112,28 +121,55 @@ def _tricubic_gather(vol: jax.Array, cz, cy, cx) -> jax.Array:
                 pz = pz + wy[iy] * (wx[ix] * vol[zi, yi, xi])
         return acc + wz_val * pz
 
-    if big:
-        # Large volumes: a rolled loop over the 16 (z,y) tap pairs so XLA
-        # reuses the gather/index temporaries — 64 concurrent full-volume
-        # gather buffers exceed single-chip HBM at 256^3+ (same concern as
-        # solver.compute_terms' sequentialized 6-direction accumulation).
-        wz_s = jnp.stack(wz)
-        wy_s = jnp.stack(wy)
+    if big and len(out_shape) == 3 and out_shape[0] > 1:
+        # Large volumes: stream the OUTPUT in Z-chunks so only one chunk's
+        # 64 tap temporaries are live at a time (each gather still reads the
+        # full volume — gathers are pointwise in output coords).
+        dz, hh, ww = out_shape
+        plane_bytes = hh * ww * 4
+        chunk = max(1, min(dz, _TRICUBIC_CHUNK_BYTES // max(plane_bytes, 1)))
+        nch = -(-dz // chunk)
+        czb = jnp.broadcast_to(cz, out_shape)
+        cyb = jnp.broadcast_to(cy, out_shape)
+        cxb = jnp.broadcast_to(cx, out_shape)
 
-        def pair_step(i, a):
-            iz, iy = i // 4, i % 4
-            zi = jnp.clip(z0 + (iz - 1), 0, d - 1)
+        def body(i, a):
+            # Clamp the last chunk's start so every slice is full-size
+            # (overlapping recompute of consistent values, not padding).
+            s = jnp.minimum(i * chunk, dz - chunk)
+            sl = lambda q: jax.lax.dynamic_slice_in_dim(q, s, chunk, 0)
+            out = _tricubic_gather_unrolled(vol, sl(czb), sl(cyb), sl(cxb))
+            return jax.lax.dynamic_update_slice_in_dim(a, out, s, 0)
+
+        return jax.lax.fori_loop(0, nch, body, acc)
+    for iz in range(4):
+        acc = z_group(iz, acc, wz[iz])
+    return acc
+
+
+def _tricubic_gather_unrolled(vol, cz, cy, cx):
+    """The small-volume (fully unrolled) tricubic gather, used per streamed
+    chunk by the big-volume path."""
+    d, h, w = vol.shape[-3:]
+    z0 = jnp.floor(cz)
+    y0 = jnp.floor(cy)
+    x0 = jnp.floor(cx)
+    wz = _cubic_weights(cz - z0)
+    wy = _cubic_weights(cy - y0)
+    wx = _cubic_weights(cx - x0)
+    z0 = z0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    acc = jnp.zeros(cz.shape, vol.dtype)
+    for iz in range(4):
+        zi = jnp.clip(z0 + (iz - 1), 0, d - 1)
+        pz = jnp.zeros(cz.shape, vol.dtype)
+        for iy in range(4):
             yi = jnp.clip(y0 + (iy - 1), 0, h - 1)
-            py = jnp.zeros(out_shape, vol.dtype)
             for ix in range(4):
                 xi = jnp.clip(x0 + (ix - 1), 0, w - 1)
-                py = py + wx[ix] * vol[zi, yi, xi]
-            return a + (wz_s[iz] * wy_s[iy]) * py
-
-        acc = jax.lax.fori_loop(0, 16, pair_step, acc)
-    else:
-        for iz in range(4):
-            acc = z_group(iz, acc, wz[iz])
+                pz = pz + wy[iy] * (wx[ix] * vol[zi, yi, xi])
+        acc = acc + wz[iz] * pz
     return acc
 
 

@@ -96,8 +96,10 @@ def test_tricubic_bias_below_trilinear_on_smooth_field():
     assert cub < 0.25 * lin, (cub, lin)
 
 
-def test_tricubic_rolled_path_matches_unrolled(monkeypatch):
-    """The large-volume rolled tap loop must equal the unrolled gather."""
+def test_tricubic_streamed_path_matches_unrolled(monkeypatch):
+    """The large-volume Z-chunk-streamed gather must equal the one-shot
+    unrolled gather — including a partial (clamped, overlapping) last
+    chunk: 12 planes at 5-plane chunks -> starts 0, 5, 7."""
     import tpuflow3d.warp as W
     v = _vol((12, 12, 12), seed=7)
     rng = np.random.default_rng(8)
@@ -105,5 +107,6 @@ def test_tricubic_rolled_path_matches_unrolled(monkeypatch):
                                1.5).astype(np.float32))
     a = np.asarray(warp_volume(v, flow, interp="tricubic"))
     monkeypatch.setattr(W, "_TRICUBIC_ROLL_BYTES", 1)
+    monkeypatch.setattr(W, "_TRICUBIC_CHUNK_BYTES", 5 * 12 * 12 * 4)
     b = np.asarray(warp_volume(v, flow, interp="tricubic"))
     np.testing.assert_allclose(a, b, atol=1e-6)
