@@ -31,9 +31,13 @@ def main():
     ap.add_argument("--stepped", action="store_true",
                     help="run levels as separate jits "
                          "(compute_flow_checkpointed) instead of one "
-                         "fused program — works around the emulated "
-                         "chip's execution fault on the tricubic 256^3 "
-                         "monolithic program (VALIDATION.md)")
+                         "fused program")
+    ap.add_argument("--warp-stepped", action="store_true",
+                    help="additionally run each WARP iteration as its own "
+                         "device program — bounds per-dispatch device "
+                         "time, which is what the emulated chip's "
+                         "long-program kill requires at 256^3 "
+                         "tricubic/warps>=8 (VALIDATION.md)")
     args = ap.parse_args()
     size = 128 if args.quick else args.size
 
@@ -154,8 +158,10 @@ def main():
         for name, p in configs:
             t0 = time.perf_counter()
             try:
-                flow = (compute_flow_checkpointed(i0d, i1d, p)
-                        if args.stepped else compute_flow(i0d, i1d, p))
+                flow = (compute_flow_checkpointed(
+                            i0d, i1d, p, warp_stepped=args.warp_stepped)
+                        if (args.stepped or args.warp_stepped)
+                        else compute_flow(i0d, i1d, p))
                 mean, mx, n = epe_device(flow)
                 mean, mx, n = float(mean), float(mx), int(n)
                 flow = None
@@ -163,7 +169,9 @@ def main():
                 print(f"study: {name} FAILED {type(e).__name__}: {e}",
                       file=sys.stderr, flush=True)
                 continue
-            row = {"config": name + ("_stepped" if args.stepped else ""),
+            suffix = ("_warpstepped" if args.warp_stepped
+                      else "_stepped" if args.stepped else "")
+            row = {"config": name + suffix,
                    "size": size, "epe_mean": round(mean, 6),
                    "epe_max": round(mx, 4), "textured_voxels": n,
                    "seconds": round(time.perf_counter() - t0, 1),

@@ -131,6 +131,9 @@ def main():
            "quadratic", *solve,
            "--inner-iterations", "1", "--flow-clamp", "2.0",
            "--no-magnitude",
+           # Per-level checkpointing: the multi-hour 1024^3 run resumes at
+           # the pyramid level it reached if interrupted.
+           "--checkpoint-dir", os.path.join(wd, "ckpt"),
            "--log-json", os.path.join(wd, "run.jsonl")]
     if args.platform:
         cmd += ["--platform", args.platform]

