@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
 
 import numpy as np
 
-SHIFT = (1.0, -0.5, 0.75)
+# (sz, sy, sx): gen_pair shifts by demo_1024_piecewise.SHIFT; keep in sync.
+from demo_1024_piecewise import SHIFT  # noqa: E402
 
 
 def main():
@@ -34,22 +35,28 @@ def main():
 
     import jax
 
-    from tpuflow3d import synthetic as syn
+    from demo_1024_piecewise import gen_pair
     from tpuflow3d.params import FlowParams
     from tpuflow3d.piecewise import compute_flow_piecewise
     from tpuflow3d.utils.profiling import PhaseTimer
 
     shape = (args.size,) * 3
-    if args.size >= 256:
-        syn.set_coord_dtype(np.float32)
     print(f"ooc_point: generating {shape} pair...", file=sys.stderr,
           flush=True)
-    i0, i1, _ = syn.make_pair(shape, syn.translation(SHIFT), n_blobs=30,
-                              seed=0)
-    i0 = np.asarray(i0)
-    i1 = np.asarray(i1)
-    p = FlowParams(levels=3, warps=2, inner_iterations=1, sweeps=6,
-                   alpha=0.05, flow_clamp=2.0)
+    # Dense analytic sum-of-cosines texture (demo_1024_piecewise.gen_pair,
+    # which shifts by its own module SHIFT): the data term constrains every
+    # voxel, so the shallow perf config's flow check is meaningful at any
+    # volume size (sparse blob texture leaves the volume between features
+    # to the smoothness prior, which 2 warps cannot propagate 100+ voxels).
+    i0, i1 = gen_pair(shape)
+    # The demo_1024_piecewise "accurate" config family, calibrated to
+    # recover the prescribed shift on this texture (96^3 probe: med err
+    # <0.02) — a meaningful flow gate AND a representative steady-state
+    # work mix.
+    p = FlowParams(levels=5, warps=2, inner_iterations=1, sweeps=12,
+                   alpha=0.02, flow_clamp=2.0,
+                   penalizer_data="quadratic",
+                   penalizer_smooth="quadratic")
 
     for k in range(args.warmup):
         print(f"ooc_point: warmup pass {k}...", file=sys.stderr, flush=True)

@@ -278,14 +278,6 @@ def _auto_mode(args, shape, params, log) -> None:
         args.sharded = True
         mode = f"sharded over {n} devices"
     else:
-        if params.gamma > 0.0:
-            # compute_flow_piecewise rejects gamma; fail here, before the
-            # solve, with the actual options.
-            raise ValueError(
-                "this volume needs the out-of-core path, which does not "
-                "support gradient constancy (gamma > 0): drop --gamma, "
-                "run on more devices (--sharded/--distributed), or pin "
-                "--incore and accept the OOM risk")
         args.piecewise = True
         mode = (f"piecewise (chunk_z={args.chunk_z})"
                 if args.chunk_z is not None else "piecewise (auto chunk)")

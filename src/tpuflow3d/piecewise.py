@@ -59,7 +59,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpuflow3d.derivatives import derivatives
+from tpuflow3d.derivatives import derivatives, grad_constancy_terms
 from tpuflow3d.grid import HaloCtx
 from tpuflow3d.median import median3
 from tpuflow3d.params import FlowParams
@@ -99,6 +99,40 @@ def _ph_terms(gs, its, fls, dus, z0, dg: int, p: FlowParams):
     return t.c, t.w, t.sw_inv, t.smt
 
 
+def _clamp_global_z(x, z0, dg: int):
+    """Remap slab planes outside the global [0, dg) to their clamped
+    in-range twins. Slab margins physically hold replicate copies of the
+    RAW inputs; a stencil-of-a-stencil (the gradient-constancy second
+    derivatives) needs replicate-of-the-DERIVED-field semantics at the
+    global faces to match the in-core ctx.zpad convention — first
+    derivatives of a replicated plane are ~0, not a copy of the face
+    derivative."""
+    size = x.shape[-3]
+    zg = z0 + jnp.arange(size, dtype=jnp.int32)
+    idx = jnp.clip(zg, 0, dg - 1) - z0
+    return jnp.take(x, idx, axis=-3)
+
+
+@partial(jax.jit, static_argnames=("dg", "p"))
+def _ph_terms_gc(i0s, i1s, fls, dus, z0, dg: int, p: FlowParams):
+    """Sweep constants for the gradient-constancy mode (p.gamma > 0),
+    recomputed on-device from the raw slab inputs: warp + derivatives +
+    second-derivative constancy terms + compute_terms in one launch.
+    Nothing beyond (i0, i1, flow, du) streams in — the 12 second-
+    derivative volumes that made r2 reject this mode on the piecewise
+    path exist only slab-at-a-time on the device. Returns (c, w, ainv):
+    the 3+6+6 volumes the general-SPD sweep consumes (solver._du_star
+    ainv branch); costs one redundant warp per inner iteration vs the
+    gamma=0 path, which streams precomputed (g, it)."""
+    ctx = _wctx(z0, dg)
+    i1w = warp_volume(i1s, fls, ctx, max_disp=p.flow_clamp, interp=p.interp)
+    g, it = derivatives(i0s, i1w, ctx, order=p.deriv_order)
+    gc = grad_constancy_terms(i0s, i1w, ctx, order=p.deriv_order,
+                              g=_clamp_global_z(g, z0, dg))
+    t = compute_terms(g, it, fls, dus, p, ctx, gc=gc)
+    return t.c, t.w, t.ainv
+
+
 @partial(jax.jit, static_argnames=("dg", "p", "color"))
 def _ph_halfsweep(dus, cs, gs, ws, swis, smts, z0, dg: int, p: FlowParams,
                   color: int):
@@ -108,9 +142,22 @@ def _ph_halfsweep(dus, cs, gs, ws, swis, smts, z0, dg: int, p: FlowParams,
     return sor_halfsweep(dus, t, p.omega, parity, color, ctx)
 
 
-@partial(jax.jit, static_argnames=("dg", "p", "sweeps", "chunk"))
-def _ph_sor_trapezoid(dus, cs, gs, ws, swis, smts, z0, kbase, dg: int,
-                      p: FlowParams, sweeps: int, chunk: int):
+def _gc_terms(cs, ws, ainvs) -> SolveTerms:
+    """SolveTerms for the streamed gradient-constancy sweeps: the general-
+    SPD branch reads only (c, w, ainv)."""
+    return SolveTerms(c=cs, g=None, w=ws, sw_inv=None, smt=None, ainv=ainvs)
+
+
+@partial(jax.jit, static_argnames=("dg", "p", "color"))
+def _ph_halfsweep_gc(dus, cs, ws, ainvs, z0, dg: int, p: FlowParams,
+                     color: int):
+    ctx = _wctx(z0, dg)
+    parity = parity_mask(dus.shape[1:], ctx)
+    return sor_halfsweep(dus, _gc_terms(cs, ws, ainvs), p.omega, parity,
+                         color, ctx)
+
+
+def _trapezoid_sweeps(dus, t, z0, kbase, dg, p, sweeps, chunk):
     """All 2*sweeps half-sweeps of one chunk visit, wavefront-masked.
 
     Half-sweep j (1-based, color (j-1)&1) updates global planes
@@ -118,7 +165,6 @@ def _ph_sor_trapezoid(dus, cs, gs, ws, swis, smts, z0, kbase, dg: int,
     kbase = k*chunk. All reads see exactly the in-core state (see module
     docstring); everything else on the slab is passed through unchanged."""
     ctx = _wctx(z0, dg)
-    t = SolveTerms(c=cs, g=gs, w=ws, sw_inv=swis, smt=smts)
     parity = parity_mask(dus.shape[1:], ctx)
     size = dus.shape[-3]
     zg = z0 + jnp.arange(size, dtype=jnp.int32)
@@ -136,6 +182,20 @@ def _ph_sor_trapezoid(dus, cs, gs, ws, swis, smts, z0, kbase, dg: int,
         return jnp.where(m, du_new, dus)
 
     return jax.lax.fori_loop(1, 2 * sweeps + 1, body, dus)
+
+
+@partial(jax.jit, static_argnames=("dg", "p", "sweeps", "chunk"))
+def _ph_sor_trapezoid(dus, cs, gs, ws, swis, smts, z0, kbase, dg: int,
+                      p: FlowParams, sweeps: int, chunk: int):
+    t = SolveTerms(c=cs, g=gs, w=ws, sw_inv=swis, smt=smts)
+    return _trapezoid_sweeps(dus, t, z0, kbase, dg, p, sweeps, chunk)
+
+
+@partial(jax.jit, static_argnames=("dg", "p", "sweeps", "chunk"))
+def _ph_sor_trapezoid_gc(dus, cs, ws, ainvs, z0, kbase, dg: int,
+                         p: FlowParams, sweeps: int, chunk: int):
+    return _trapezoid_sweeps(dus, _gc_terms(cs, ws, ainvs), z0, kbase, dg,
+                             p, sweeps, chunk)
 
 
 @partial(jax.jit, static_argnames=("dg", "p", "sweeps", "chunk"))
@@ -179,7 +239,9 @@ def _ph_fused_warp_iter(i0s, i1s, fls, carry, z0, kbase, dg: int,
     # slab that is visited once).
     from tpuflow3d.pallas.warp_grad import (PALLAS_WARP_MAX_CLAMP,
                                             warp_grad_pallas)
+    gc = None
     if (pal and p.deriv_order == 2 and p.interp == "trilinear"
+            and p.gamma == 0.0
             and 0.0 < p.flow_clamp <= PALLAS_WARP_MAX_CLAMP):
         g, it = warp_grad_pallas(i1s, fls, i0s, ctx, max_disp=p.flow_clamp,
                                  interpret=pallas_interpret())
@@ -187,15 +249,26 @@ def _ph_fused_warp_iter(i0s, i1s, fls, carry, z0, kbase, dg: int,
         i1w = warp_volume(i1s, fls, ctx, max_disp=p.flow_clamp,
                           interp=p.interp)
         g, it = derivatives(i0s, i1w, ctx, order=p.deriv_order)
+        if p.gamma > 0.0:
+            # Gradient constancy composes with the fused streamed path for
+            # free: its second-derivative terms are a pure function of the
+            # slab inputs already on-device (stream_margin carries the
+            # extra stencil radius), so no additional volumes stream.
+            gc = grad_constancy_terms(
+                i0s, i1w, ctx, order=p.deriv_order,
+                g=_clamp_global_z(g, z0, dg))
     du0 = jnp.zeros_like(fls)
-    t = compute_terms(g, it, fls, du0, p, ctx)
+    t = compute_terms(g, it, fls, du0, p, ctx, gc=gc)
     s2 = 2 * sweeps
     size = fls.shape[-3]
     mw = (size - chunk - s2) // 2  # static slab margin (see host driver)
     du = du0.at[:, mw - 2:mw + s2].set(carry)
     zg = z0 + jnp.arange(size, dtype=jnp.int32)
 
-    if pal:
+    if pal and p.gamma == 0.0:
+        # The flat Pallas sweep kernel solves the rank-1-plus-identity
+        # system; the gradient-constancy general-SPD solve (t.ainv) sweeps
+        # on the XLA path below.
         from tpuflow3d.pallas.sor import sor_halfsweep_pallas
         interp = pallas_interpret()
         plo, phi = ctx.z_halo_planes(t.psi_s)
@@ -250,6 +323,12 @@ def _ph_jacobi(dus, cs, gs, ws, swis, smts, z0, dg: int, p: FlowParams):
     return jacobi_sweep(dus, t, p.jacobi_omega(), ctx)
 
 
+@partial(jax.jit, static_argnames=("dg", "p"))
+def _ph_jacobi_gc(dus, cs, ws, ainvs, z0, dg: int, p: FlowParams):
+    return jacobi_sweep(dus, _gc_terms(cs, ws, ainvs), p.jacobi_omega(),
+                        _wctx(z0, dg))
+
+
 @jax.jit
 def _ph_median(dus):
     return median3(dus, HaloCtx())
@@ -274,11 +353,14 @@ def _ph_resample(xs, z0_out, z0_in, sigma: float, out_len: int, scale: float,
 
 # ---- streaming drivers ----
 
-def _stream_sor_trapezoid(du, c, g, wgt, swi, smt, p: FlowParams,
+def _stream_sor_trapezoid(du, terms, phase, p: FlowParams,
                           chunk: int) -> np.ndarray:
     """One chunk pass advancing all 2*p.sweeps half-sweeps (see module
-    docstring). Mutates and returns the host ``du``; exact equal to
-    2*sweeps separate streamed half-sweeps."""
+    docstring). ``terms``: host term arrays streamed alongside du (the
+    phase's positional signature); ``phase``: a trapezoid slab jit
+    (_ph_sor_trapezoid or _ph_sor_trapezoid_gc, partially applied).
+    Mutates and returns the host ``du``; exact equal to 2*sweeps separate
+    streamed half-sweeps."""
     d = du.shape[-3]
     s2 = 2 * p.sweeps
     size = chunk + s2 + 2
@@ -286,9 +368,8 @@ def _stream_sor_trapezoid(du, c, g, wgt, swi, smt, p: FlowParams,
     for k in range(n_launch):
         lo = (k - 1) * chunk - 1
         slabs = [jnp.asarray(_host_slab(x, lo, size))
-                 for x in (du, c, g, wgt, swi, smt)]
-        res = _ph_sor_trapezoid(*slabs, jnp.int32(lo), jnp.int32(k * chunk),
-                                dg=d, p=p, sweeps=p.sweeps, chunk=chunk)
+                 for x in (du, *terms)]
+        res = phase(*slabs, jnp.int32(lo), jnp.int32(k * chunk))
         w0 = max((k - 1) * chunk, 0)       # F_2S(k-1)
         w1 = min(k * chunk + s2, d)        # >= F_1(k)
         if w1 > w0:
@@ -455,10 +536,12 @@ def registration_fit_streamed(i0, i1, flow, p: FlowParams, chunk_z: int):
 def stream_margin(p: FlowParams) -> int:
     """Z margin planes a streamed solve chunk carries: warp margin (+1 tap
     for tricubic) + derivative stencil radius (1 for 2-point, 2 for
-    5-point). Requires a positive flow_clamp (DEFAULT_FLOW_CLAMP is
-    injected by compute_flow_piecewise)."""
+    5-point; doubled under gradient constancy, whose terms are second
+    derivatives of the warped volume). Requires a positive flow_clamp
+    (DEFAULT_FLOW_CLAMP is injected by compute_flow_piecewise)."""
+    r_terms = (p.deriv_order // 2) * (2 if p.gamma > 0.0 else 1)
     return (int(math.ceil(p.flow_clamp)) + 1
-            + (1 if p.interp == "tricubic" else 0) + p.deriv_order // 2)
+            + (1 if p.interp == "tricubic" else 0) + r_terms)
 
 
 def _solve_level_streamed(i0l, i1l, flow, p: FlowParams, chunk: int,
@@ -473,42 +556,65 @@ def _solve_level_streamed(i0l, i1l, flow, p: FlowParams, chunk: int,
         for _ in range(p.warps):
             flow = _stream_fused_warp_iteration(i0l, i1l, flow, p, chunk, mw)
         return flow
+    gamma = p.gamma > 0.0
     for _ in range(p.warps):
-        g = np.empty((3, d, h, w), np.float32)
-        it = np.empty((d, h, w), np.float32)
-        _stream(partial(_ph_warp_deriv, dg=d, p=p), [i0l, i1l, flow],
-                mw, chunk, [g, it], pipeline=True)
+        if not gamma:
+            g = np.empty((3, d, h, w), np.float32)
+            it = np.empty((d, h, w), np.float32)
+            _stream(partial(_ph_warp_deriv, dg=d, p=p), [i0l, i1l, flow],
+                    mw, chunk, [g, it], pipeline=True)
         du = np.zeros((3, d, h, w), np.float32)
         for _k in range(p.inner_iterations):
-            c = np.empty((3, d, h, w), np.float32)
-            wgt = np.empty((6, d, h, w), np.float32)
-            swi = np.empty((d, h, w), np.float32)
-            smt = np.empty((d, h, w), np.float32)
-            # Margin 2, not 1: the neighbor weight at an interior plane z
-            # reads psi_s[z+-1], which reads flow/du at z+-2. With margin
-            # 1 that outermost plane is slab-replicate contaminated and
-            # the streamed terms drift ~1e-3 from in-core at chunk seams.
-            _stream(partial(_ph_terms, dg=d, p=p), [g, it, flow, du],
-                    2, chunk, [c, wgt, swi, smt], pipeline=True)
+            if gamma:
+                # Gradient-constancy terms: recompute warp+derivatives
+                # inside the terms phase from the raw inputs (no g/it/gc
+                # host arrays; _ph_terms_gc docstring) and sweep on the
+                # general-SPD (c, w, ainv) system.
+                c = np.empty((3, d, h, w), np.float32)
+                wgt = np.empty((6, d, h, w), np.float32)
+                ainv = np.empty((6, d, h, w), np.float32)
+                _stream(partial(_ph_terms_gc, dg=d, p=p),
+                        [i0l, i1l, flow, du], mw, chunk, [c, wgt, ainv],
+                        pipeline=True)
+                tarr = [c, wgt, ainv]
+                ph_trap = partial(_ph_sor_trapezoid_gc, dg=d, p=p,
+                                  sweeps=p.sweeps, chunk=chunk)
+                ph_half = partial(_ph_halfsweep_gc, dg=d, p=p)
+                ph_jac = partial(_ph_jacobi_gc, dg=d, p=p)
+            else:
+                c = np.empty((3, d, h, w), np.float32)
+                wgt = np.empty((6, d, h, w), np.float32)
+                swi = np.empty((d, h, w), np.float32)
+                smt = np.empty((d, h, w), np.float32)
+                # Margin 2, not 1: the neighbor weight at an interior
+                # plane z reads psi_s[z+-1], which reads flow/du at z+-2.
+                # With margin 1 that outermost plane is slab-replicate
+                # contaminated and the streamed terms drift ~1e-3 from
+                # in-core at chunk seams.
+                _stream(partial(_ph_terms, dg=d, p=p), [g, it, flow, du],
+                        2, chunk, [c, wgt, swi, smt], pipeline=True)
+                tarr = [c, g, wgt, swi, smt]
+                ph_trap = partial(_ph_sor_trapezoid, dg=d, p=p,
+                                  sweeps=p.sweeps, chunk=chunk)
+                ph_half = partial(_ph_halfsweep, dg=d, p=p)
+                ph_jac = partial(_ph_jacobi, dg=d, p=p)
             if p.solver == "sor" and temporal_block:
                 # Wavefront: one chunk visit advances all 2*sweeps
                 # half-sweeps on-device (~sweeps x less host<->device
                 # traffic, exact — see module docstring).
-                du = _stream_sor_trapezoid(du, c, g, wgt, swi, smt, p, chunk)
+                du = _stream_sor_trapezoid(du, tarr, ph_trap, p, chunk)
             elif p.solver == "sor":
                 for _s in range(p.sweeps):
                     # One in-place pass per color: red reads only black and
                     # vice versa, so chunk-sequential in-place updates
                     # reproduce the in-core order exactly.
                     for color in (0, 1):
-                        _stream(partial(_ph_halfsweep, dg=d, p=p,
-                                        color=color),
-                                [du, c, g, wgt, swi, smt], 1, chunk, [du])
+                        _stream(partial(ph_half, color=color),
+                                [du, *tarr], 1, chunk, [du])
             else:
                 for _s in range(p.sweeps):
                     du_new = np.empty_like(du)
-                    _stream(partial(_ph_jacobi, dg=d, p=p),
-                            [du, c, g, wgt, swi, smt], 1, chunk, [du_new],
+                    _stream(ph_jac, [du, *tarr], 1, chunk, [du_new],
                             pipeline=True)
                     du = du_new
         if p.median:
@@ -540,12 +646,6 @@ def compute_flow_piecewise(i0, i1, params: FlowParams = FlowParams(),
     phase = PhaseTimer.maybe(timer)
 
     p = params
-    if p.gamma > 0.0:
-        raise ValueError(
-            "gradient constancy (gamma > 0) is not supported on the "
-            "out-of-core piecewise path: it would stream 12 extra "
-            "second-derivative volumes per chunk. Use the in-core or "
-            "Z-sharded paths for this accuracy mode.")
     if p.flow_clamp <= 0:
         p = p.replace(flow_clamp=DEFAULT_FLOW_CLAMP)
     i0 = np.asarray(i0, np.float32)

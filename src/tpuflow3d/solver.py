@@ -230,18 +230,20 @@ def _du_star(du: jax.Array, t: SolveTerms, ctx: HaloCtx) -> jax.Array:
     """Exact pointwise solution A^-1 b given current neighbor values of du."""
     du_nb = _neighbors6(du, ctx)  # Z halo exchanged here, every call
     b = t.c.astype(du.dtype)  # terms may be stored bf16; compute in f32
-    g = t.g.astype(du.dtype)
     for wd, dnb in zip(t.w, du_nb):
         b = b + wd[None] * dnb
     if t.ainv is not None:
         # General SPD system (gradient-constancy mode): x = A^-1 b with
         # the precomputed symmetric inverse (rows 00,01,02,11,12,22).
+        # t.g is not read here (may be None on the streamed path, which
+        # only materializes what this branch consumes).
         a = t.ainv
         return jnp.stack([
             a[0] * b[0] + a[1] * b[1] + a[2] * b[2],
             a[1] * b[0] + a[3] * b[1] + a[4] * b[2],
             a[2] * b[0] + a[4] * b[1] + a[5] * b[2],
         ])
+    g = t.g.astype(du.dtype)
     gb = jnp.einsum("cdhw,cdhw->dhw", g, b)
     return b * t.sw_inv[None] - g * (gb * t.smt)[None]
 

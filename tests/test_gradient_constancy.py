@@ -168,11 +168,17 @@ def test_sharded_gamma_matches_unsharded():
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
 
 
-def test_piecewise_rejects_gamma():
+def test_piecewise_supports_gamma():
+    """r3: the r2 piecewise rejection is lifted — gamma composes with the
+    streamed path (terms recomputed on-device per slab; full equality
+    gates live in tests/test_piecewise.py::test_gamma_*)."""
     from tpuflow3d.piecewise import compute_flow_piecewise
-    i0 = np.zeros((16, 8, 8), np.float32)
-    with pytest.raises(ValueError, match="gamma"):
-        compute_flow_piecewise(i0, i0, FlowParams(gamma=0.5))
+    rng = np.random.default_rng(0)
+    i0 = rng.normal(size=(16, 8, 8)).astype(np.float32)
+    flow = compute_flow_piecewise(
+        i0, i0, FlowParams(levels=1, warps=1, sweeps=2, gamma=0.5,
+                           flow_clamp=2.0), chunk_z=8)
+    assert np.all(np.isfinite(flow))
 
 
 def test_cli_gamma_flags():

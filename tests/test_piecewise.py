@@ -251,3 +251,77 @@ def test_registration_fit_streamed_matches_incore():
     # differ from the in-core result in the last few f32 ulps).
     assert abs(max_r - r.max()) < 1e-6 * max(1.0, r.max())
     assert abs(before - np.abs(i1 - i0).mean()) < 1e-6
+
+
+# ---- gradient-constancy (gamma > 0) on the streamed path (r3: the r2
+# rejection is lifted — the gc terms are recomputed on-device per slab,
+# see piecewise._ph_terms_gc / _ph_fused_warp_iter) ----
+
+def test_gamma_fused_stream_matches_incore():
+    """gamma > 0, inner_iterations == 1: the fully-fused streamed path
+    computes the second-derivative terms on-device and must match the
+    in-core gradient-constancy solve (single-warp config: the deep
+    multi-warp Charbonnier configs amplify ulp seeds, see module
+    docstring — that regime is gated streamed-vs-streamed below)."""
+    shape = (24, 16, 16)
+    i0, i1, _ = _pair(shape)
+    p = FlowParams(levels=1, warps=1, inner_iterations=1, sweeps=4,
+                   presmooth_sigma=0.0, normalize=False,
+                   alpha=0.05, gamma=1.5, flow_clamp=2.0, backend="xla")
+    ref = np.asarray(compute_flow(i0, i1, p))
+    got = compute_flow_piecewise(i0, i1, p, chunk_z=6, fuse=True)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_gamma_fused_matches_per_halfsweep():
+    """gamma > 0 deep config: fused one-launch-per-chunk streaming equals
+    per-half-sweep streaming (same arithmetic, ulp-level tolerance as the
+    non-gamma twin test)."""
+    shape = (22, 16, 16)
+    i0, i1, _ = _pair(shape)
+    p = FlowParams(levels=2, warps=2, inner_iterations=1, sweeps=4,
+                   alpha=0.05, gamma=1.5, flow_clamp=2.0, backend="xla")
+    a = compute_flow_piecewise(i0, i1, p, chunk_z=4, fuse=True)
+    b = compute_flow_piecewise(i0, i1, p, chunk_z=4,
+                               temporal_block=False, fuse=False)
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
+
+
+@pytest.mark.parametrize("chunk", [4, 64])
+def test_gamma_streamed_single_sweep_strict(chunk):
+    """gamma > 0 on the unfused phases (inner_iterations > 1 forces the
+    per-phase path): one sweep must reproduce in-core to float noise."""
+    shape = (24, 16, 16)
+    i0, i1, _ = _pair(shape)
+    p = FlowParams(levels=1, warps=1, inner_iterations=2, sweeps=1,
+                   median=False, presmooth_sigma=0.0, normalize=False,
+                   alpha=0.05, gamma=2.0, flow_clamp=4.0, backend="xla")
+    ref = np.asarray(compute_flow(i0, i1, p))
+    got = compute_flow_piecewise(i0, i1, p, chunk_z=chunk)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_gamma_trapezoid_matches_per_halfsweep():
+    """gamma > 0: the wavefront trapezoid over the general-SPD system is
+    exactly the per-half-sweep streaming order."""
+    shape = (20, 12, 16)
+    i0, i1, _ = _pair(shape)
+    p = FlowParams(levels=1, warps=1, inner_iterations=2, sweeps=5,
+                   median=False, presmooth_sigma=0.0, normalize=False,
+                   alpha=0.05, gamma=1.0, flow_clamp=4.0, backend="xla")
+    a = compute_flow_piecewise(i0, i1, p, chunk_z=4, temporal_block=True)
+    b = compute_flow_piecewise(i0, i1, p, chunk_z=4, temporal_block=False)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_gamma_streamed_jacobi():
+    """gamma > 0 with the Jacobi solver streams through _ph_jacobi_gc."""
+    shape = (20, 12, 16)
+    i0, i1, _ = _pair(shape)
+    p = FlowParams(levels=1, warps=1, inner_iterations=2, sweeps=6,
+                   solver="jacobi", median=False, presmooth_sigma=0.0,
+                   normalize=False, alpha=0.05, gamma=1.0, flow_clamp=4.0,
+                   backend="xla")
+    ref = np.asarray(compute_flow(i0, i1, p))
+    got = compute_flow_piecewise(i0, i1, p, chunk_z=4)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
