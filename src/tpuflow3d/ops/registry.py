@@ -136,7 +136,13 @@ _register(OpSpec(
         "TPUs).",
     byte_variants={"packed (even W >= 256, Pallas)": _solve_bytes(True),
                    "flat (Pallas)": _solve_bytes(False),
-                   "xla": 80.0}))
+                   "xla": 80.0,
+                   # Gradient-constancy (gamma > 0) general-SPD sweep:
+                   # du 12r+12w, c 12, ainv 24, psi_s 4 (pallas/sor_gc.py);
+                   # the XLA twin additionally streams the 6 materialized
+                   # weight volumes instead of recomputing from psi_s.
+                   "gc (gamma > 0, Pallas)": 64.0,
+                   "gc xla": 88.0}))
 
 _register(OpSpec(
     name="median",

@@ -40,9 +40,10 @@ class FlowParams:
                                 # grad I0(x)|^2) to the data term, making
                                 # the match robust to additive intensity
                                 # changes between frames. 0 = off
-                                # (reference behavior). gamma > 0 takes the
-                                # XLA sweep path (full symmetric 3x3 point
-                                # solve instead of Sherman-Morrison).
+                                # (reference behavior). gamma > 0 solves
+                                # the full symmetric 3x3 point system
+                                # (pallas/sor_gc.py or the XLA path)
+                                # instead of Sherman-Morrison.
     penalizer_grad: Penalizer = "charbonnier"
     eps_grad: float = 1e-3      # Charbonnier epsilon, gradient-constancy
 

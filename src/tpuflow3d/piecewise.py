@@ -265,16 +265,22 @@ def _ph_fused_warp_iter(i0s, i1s, fls, carry, z0, kbase, dg: int,
     du = du0.at[:, mw - 2:mw + s2].set(carry)
     zg = z0 + jnp.arange(size, dtype=jnp.int32)
 
-    if pal and p.gamma == 0.0:
-        # The flat Pallas sweep kernel solves the rank-1-plus-identity
-        # system; the gradient-constancy general-SPD solve (t.ainv) sweeps
-        # on the XLA path below.
+    if pal:
         from tpuflow3d.pallas.sor import sor_halfsweep_pallas
+        from tpuflow3d.pallas.sor_gc import sor_halfsweep_gc_pallas
         interp = pallas_interpret()
         plo, phi = ctx.z_halo_planes(t.psi_s)
 
         def halfsweep(du, color):
             lo, hi = ctx.z_halo_planes(du)
+            if p.gamma > 0.0:
+                # General-SPD system: the gradient-constancy flat kernel
+                # streams the precomputed symmetric inverse.
+                return sor_halfsweep_gc_pallas(du, t.c, t.ainv, t.psi_s,
+                                               lo, hi, plo, phi,
+                                               ctx.z0(size), p.alpha,
+                                               p.omega, color, dg,
+                                               interpret=interp)
             return sor_halfsweep_pallas(du, t.c, t.g, t.psi_s, t.psi_d,
                                         lo, hi, plo, phi, ctx.z0(size),
                                         p.alpha, p.omega, color, dg,

@@ -268,13 +268,15 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
     """Full inner solve: nonlinearity loop x sweep loop. Returns the flow
     increment (du, dv, dw); optionally records per-sweep residual norms into
     ``residuals_slot`` (a (inner*sweeps,) array) when track_residuals.
-    ``gc``: gradient-constancy terms, required iff p.gamma > 0 — this mode
-    always sweeps on the XLA path (full 3x3 point solve)."""
+    ``gc``: gradient-constancy terms, required iff p.gamma > 0 — that mode
+    sweeps with the general-SPD flat Pallas kernel (pallas/sor_gc.py) or
+    the XLA full-3x3 path; the packed layout stays gamma == 0."""
     du0 = jnp.zeros_like(flow)
     track = residuals_slot is not None
     n_global = 3.0 * ctx.d_global(it.shape[-3]) * it.shape[-2] * it.shape[-1]
     from tpuflow3d.backend import pallas_interpret, use_pallas
-    pallas_sweeps = p.solver == "sor" and use_pallas(p) and p.gamma == 0.0
+    gamma_mode = p.gamma > 0.0
+    pallas_sweeps = p.solver == "sor" and use_pallas(p)
     if pallas_sweeps:
         interp = pallas_interpret()
     # Color-packed layout needs even W (pairs of lanes per packed lane),
@@ -283,8 +285,11 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
     # packed arrays waste lanes to tile padding and Mosaic compile time
     # explodes on the relayouts, so coarse pyramid levels use the flat
     # kernel (dispatch is static per level). Interpret mode (CPU tests)
-    # keeps packed enabled at any even W for coverage.
-    packed = (pallas_sweeps and p.sweep_layout == "packed"
+    # keeps packed enabled at any even W for coverage. Gradient-constancy
+    # mode sweeps with the flat general-SPD kernel (pallas/sor_gc.py);
+    # packing its 6 ainv volumes has not been worth the relayout.
+    packed = (pallas_sweeps and not gamma_mode
+              and p.sweep_layout == "packed"
               and it.shape[-1] % 2 == 0
               and (interp or it.shape[-1] >= 256))
     if pallas_sweeps:
@@ -294,6 +299,8 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
             from tpuflow3d.pallas.sor_packed import (pack_color,
                                                      sor_halfsweep_packed,
                                                      unpack_colors)
+        elif gamma_mode:
+            from tpuflow3d.pallas.sor_gc import sor_halfsweep_gc_pallas
         else:
             from tpuflow3d.pallas.sor import sor_halfsweep_pallas
 
@@ -318,10 +325,16 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
             du1 = du
             for color in (0, 1):
                 lo, hi = ctx.z_halo_planes(du1)
-                du1 = sor_halfsweep_pallas(du1, t.c, t.g, t.psi_s, t.psi_d,
-                                           lo, hi, ps_halos[0], ps_halos[1],
-                                           z0, p.alpha, p.omega, color, dg,
-                                           interpret=interp)
+                if gamma_mode:
+                    du1 = sor_halfsweep_gc_pallas(
+                        du1, t.c, t.ainv, t.psi_s, lo, hi,
+                        ps_halos[0], ps_halos[1], z0, p.alpha, p.omega,
+                        color, dg, interpret=interp)
+                else:
+                    du1 = sor_halfsweep_pallas(
+                        du1, t.c, t.g, t.psi_s, t.psi_d, lo, hi,
+                        ps_halos[0], ps_halos[1], z0, p.alpha, p.omega,
+                        color, dg, interpret=interp)
             return du1
         if p.solver == "sor":
             du1 = sor_halfsweep(du, t, p.omega, parity, 0, ctx)
