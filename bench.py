@@ -170,6 +170,44 @@ def _kernel_fractions(shape, p, bw):
           f"{f32_packed_ms / (dt * 1e3):.2f}x vs f32 terms",
           file=sys.stderr, flush=True)
 
+    # Gradient-constancy general-SPD sweep (pallas/sor_gc.py): the gamma>0
+    # accuracy mode's hot kernel, measured on the same footing.
+    from tpuflow3d.derivatives import grad_constancy_terms
+    from tpuflow3d.pallas.sor_gc import sor_halfsweep_gc_pallas
+
+    pg = p.replace(gamma=1.0)
+
+    @jax.jit
+    def make_terms_gc(i0, i1, flow, du):
+        g, it = derivatives(i0, i1)
+        gc = grad_constancy_terms(i0, i1, g=g)
+        return compute_terms(g, it, flow, du, pg, gc=gc)
+
+    tg = make_terms_gc(i0, i1, flow, du)
+    jax.block_until_ready(tg)
+
+    @jax.jit
+    def gc_loop(duv, c, ainv, psi_s, plo, phi):
+        def body(i, dv):
+            for color in (0, 1):
+                lo, hi = ctx.z_halo_planes(dv)
+                dv = sor_halfsweep_gc_pallas(dv, c, ainv, psi_s, lo, hi,
+                                             plo, phi, 0, p.alpha, p.omega,
+                                             color, d)
+            return dv
+        return lax.fori_loop(0, K, body, duv)
+
+    plo_g, phi_g = ctx.z_halo_planes(tg.psi_s)
+    dt = timed(lambda x: gc_loop(x, tg.c, tg.ainv, tg.psi_s, plo_g, phi_g),
+               du) / (K * 2)
+    tg = None
+    from tpuflow3d.ops import get_op
+    gc_bytes = get_op("solve").byte_variants["gc (gamma > 0, Pallas)"]
+    implied["sor_gc"] = vox * gc_bytes / dt
+    out["sor_gc_halfsweep_ms"] = round(dt * 1e3, 4)
+    print(f"bench: SOR gc half-sweep {dt * 1e3:.3f} ms, "
+          f"{vox / dt / 1e9:.2f} Gvox/s", file=sys.stderr, flush=True)
+
     clamp = 2.0
     fl = jnp.clip(du * 40, -clamp, clamp)
 
@@ -418,10 +456,15 @@ def main() -> int:
         # is not the accuracy floor. The converged floor at 256^3 is
         # 2.4e-3 (warps=8, sweeps<=60, residual_tol=1e-6; STUDY_256.jsonl
         # + VALIDATION.md "256^3 accuracy study"); interp=tricubic breaks
-        # that trilinear-bias floor to 5.6e-4 (192^3, same texture —
-        # VALIDATION.md; 256^3 tricubic faults this emulator).
+        # that trilinear-bias floor: 5.6e-4 at 192^3, and — the
+        # BASELINE.json accuracy-gate row — 9.42e-4 at 256^3 on the
+        # attached TPU via warp-stepped dispatch (r3, STUDY_256.jsonl
+        # `tricubic_warps8_restol_warpstepped`; VALIDATION.md "The 256^3
+        # gate row").
         "epe_converged_256_study": 0.0024,
         "epe_tricubic_192_study": 0.00056,
+        "epe_tricubic_256": 0.00094,
+        "accuracy_gate_1e3": "MET",
         "seconds_per_run": round(dt, 3),
         **kern,
         **bf16,

@@ -15,12 +15,36 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
 
+DIE_EXIT_CODE = 17  # injected-fault marker (test_multiprocess fault test)
+
+
+def _arm_fault_injection(ckdir: str):
+    """Fault injection (SURVEY.md §7 failure detection): a daemon thread
+    kills THIS process the moment the first pyramid-level checkpoint
+    appears — i.e. mid-solve, between collectives. The surviving ranks'
+    next ppermute/psum then has a dead peer; the framework's failure
+    contract is that this surfaces as a prompt distributed-runtime ERROR
+    (never a silent hang), and recovery is relaunch + checkpoint resume."""
+    import threading
+    import time as _t
+
+    from tpuflow3d import checkpoint as ckpt
+
+    def watch():
+        while ckpt.peek_level_checkpoint(ckdir) is None:
+            _t.sleep(0.02)
+        os._exit(DIE_EXIT_CODE)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def main():
     pid = int(sys.argv[1])
     nproc = int(sys.argv[2])
     port = sys.argv[3]
     workdir = sys.argv[4]
     ckdir = sys.argv[5] if len(sys.argv) > 5 else None
+    mode = sys.argv[6] if len(sys.argv) > 6 else ""
 
     from tpuflow3d import distributed as dist
     from tpuflow3d import volume as vio
@@ -30,12 +54,21 @@ def main():
     assert jax.process_count() == nproc
 
     meta = vio.read_sidecar(os.path.join(workdir, "a.raw"))
-    p = FlowParams(levels=2, warps=1, inner_iterations=1, sweeps=5,
+    levels = int(os.environ.get("MP_WORKER_LEVELS", "2"))
+    sweeps = int(os.environ.get("MP_WORKER_SWEEPS", "5"))
+    p = FlowParams(levels=levels, warps=1, inner_iterations=1, sweeps=sweeps,
                    alpha=0.05)
     mesh = dist.global_z_mesh()
     args = (os.path.join(workdir, "a.raw"), os.path.join(workdir, "b.raw"),
             meta, p, mesh)
-    if ckdir is not None:
+    if mode == "die" and ckdir is not None:
+        if pid != 0:
+            _arm_fault_injection(ckdir)
+        flow = dist.compute_flow_distributed(
+            *args, out_prefix=os.path.join(workdir, "mpflow_"),
+            checkpoint_dir=ckdir)
+        flow.block_until_ready()
+    elif ckdir is not None:
         # Checkpointed first pass (leaves "ready for level 0" state), then
         # a second pass that RESUMES from it — each process reading only
         # its own Z slab — and writes the outputs.

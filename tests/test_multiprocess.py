@@ -153,3 +153,63 @@ def test_cli_distributed_sequence(tmp_path):
         u = vio.read_raw(f"{out}{t:04d}_u.raw",
                          vio.VolumeMeta(shape, "float32"))
         np.testing.assert_allclose(u, ref[2], atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_fault_detection_and_elastic_resume(tmp_path):
+    """Failure detection + elastic recovery (SURVEY.md §7; upgrades the
+    'partial' inventory row): rank 1 is KILLED mid-solve (fault injection:
+    os._exit the moment the first level checkpoint lands), and
+
+      1. detection — the surviving rank's next collective must FAIL
+         promptly (nonzero exit, not a hang; bounded by the communicate
+         timeout), matching the documented failure contract that dead
+         peers surface as distributed-runtime errors;
+      2. elastic recovery — relaunching the job with the same
+         --checkpoint-dir resumes from the level boundary (each process
+         reading only its own Z slab) and produces the same flow as the
+         single-process reference.
+    """
+    shape = (24, 16, 16)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 0.5)),
+                              seed=11)
+    vio.write_raw(str(tmp_path / "a.raw"), i0)
+    vio.write_raw(str(tmp_path / "b.raw"), i1)
+    ckdir = str(tmp_path / "ck")
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # 1 local CPU device per process
+    # 3 levels / heavy sweeps: two checkpoint boundaries and enough
+    # post-checkpoint work that rank 0 is still inside the solve when the
+    # injected kill fires at the FIRST checkpoint.
+    env["MP_WORKER_LEVELS"] = "3"
+    env["MP_WORKER_SWEEPS"] = "40"
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(r), "2", "23771", str(tmp_path),
+         ckdir, "die"], env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for r in range(2)]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    assert procs[1].returncode == 17, outs[1]  # the injected fault fired
+    # Detection: the survivor errored out (did not hang, did not succeed).
+    assert procs[0].returncode not in (0, None), outs[0]
+
+    from tpuflow3d import checkpoint as ckpt
+    state = ckpt.peek_level_checkpoint(ckdir)
+    assert state is not None  # something to resume from survived the crash
+
+    # Elastic recovery: relaunch with the same checkpoint dir.
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(r), "2", "23772", str(tmp_path),
+         ckdir], env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for r in range(2)]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "ok" in out, out
+
+    pr = FlowParams(levels=3, warps=1, inner_iterations=1, sweeps=40,
+                    alpha=0.05)
+    ref = np.asarray(compute_flow_sharded(i0, i1, pr, make_z_mesh(2)))
+    u = vio.read_raw(str(tmp_path / "mpflow_u.raw"),
+                     vio.VolumeMeta(shape, "float32"))
+    np.testing.assert_allclose(u, ref[2], atol=1e-5, rtol=1e-4)

@@ -106,14 +106,18 @@ def test_residual_tol_early_stop():
 
 def test_bf16_terms_storage():
     """terms_dtype=bfloat16 (storage-only downcast of the sweep constants)
-    stays within ~1e-2 voxels of the f32 run and recovers the flow."""
+    costs <1e-3 EPE vs the f32 run and recovers the flow. The budget is
+    certified at the converged 256^3 config on the attached TPU: bf16
+    EPE 2.43e-3 vs the 2.40e-3 f32 floor, a 3e-5 delta (STUDY_256.jsonl
+    `warps8_restol_bf16terms_warpstepped`; VALIDATION.md bf16 row —
+    VERDICT r2 item 6)."""
     shape = (48, 48, 48)
     fn = syn.translation((1.0, -0.5, 0.75))
     p = P64.replace(levels=3)
     err32, est32, _ = _run(shape, fn, p)
     err16, est16, _ = _run(shape, fn, p.replace(terms_dtype="bfloat16"))
-    assert err16 < err32 + 0.02, (err16, err32)
-    assert np.abs(est16 - est32).mean() < 0.02
+    assert err16 < err32 + 1e-3, (err16, err32)
+    assert np.abs(est16 - est32).mean() < 1e-3
 
 
 def test_quadratic_penalizers_end_to_end():
