@@ -64,7 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
                       ("eps_data", float), ("eps_smooth", float),
                       ("flow_clamp", float), ("deriv_order", int),
                       ("residual_tol", float), ("gamma", float),
-                      ("eps_grad", float)]:
+                      ("eps_grad", float), ("mg_cycles", int),
+                      ("mg_pre", int), ("mg_post", int),
+                      ("mg_coarse_sweeps", int), ("mg_omega", float)]:
         ap.add_argument(f"--{name.replace('_', '-')}", type=typ, default=None,
                         dest=name)
     ap.add_argument("--interp", choices=["trilinear", "tricubic"],
@@ -82,7 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "(--gamma > 0: Brox-style robustness to additive "
                          "intensity changes; in-core/sharded paths only)")
     ap.add_argument("--no-median", action="store_true")
-    ap.add_argument("--solver", choices=["sor", "jacobi"], default=None)
+    ap.add_argument("--solver", choices=["sor", "jacobi", "multigrid"],
+                    default=None)
     ap.add_argument("--sharded", action="store_true",
                     help="Z-shard across all visible devices")
     ap.add_argument("--devices", type=int, default=None,
@@ -153,7 +156,9 @@ def params_from_args(args) -> FlowParams:
                  "inner_iterations", "sweeps", "omega", "presmooth_sigma",
                  "eps_data", "eps_smooth", "flow_clamp", "deriv_order",
                  "residual_tol", "gamma", "eps_grad", "penalizer_data",
-                 "penalizer_smooth", "penalizer_grad", "solver", "interp"]:
+                 "penalizer_smooth", "penalizer_grad", "solver", "interp",
+                 "mg_cycles", "mg_pre", "mg_post", "mg_coarse_sweeps",
+                 "mg_omega"]:
         v = getattr(args, name, None)
         if v is not None:
             overrides[name] = v

@@ -1,0 +1,221 @@
+"""Geometric multigrid V-cycles on the linearized Euler-Lagrange system.
+
+A convergence-rate EXTENSION over the reference, whose solver is plain
+red-black SOR (SURVEY.md §2: "solved by SOR (red-black) or Jacobi
+relaxation"): SOR kills high-frequency error fast but propagates
+low-frequency corrections one voxel per sweep, so the sweep count to a
+given residual grows with resolution. Real-time variational flow solvers
+(Bruhn et al. 2005) fix this with multigrid; this module is that solver
+for the TPU pipeline, selected by ``FlowParams(solver="multigrid")``.
+
+Design:
+- Per nonlinearity update (frozen psi weights), the system at each voxel
+  is  (sw*I + psi_d g g^T) du_p - sum_q w_pq du_q = c  (solver.py). A
+  V-cycle = mg_pre red-black sweeps -> residual -> trilinear restriction
+  to a ~half-resolution grid -> recursive correction solve -> trilinear
+  prolongation -> mg_post sweeps. The smoother IS the existing
+  ``solver.sor_halfsweep`` (XLA or Pallas twin under it), at a damped
+  ``mg_omega`` ~1.3: high-omega SOR trades smoothing factor for exactly
+  the low-frequency speed the coarse grid already provides.
+- Coarse SMOOTHNESS weights are rediscretized: psi_s is trilinearly
+  restricted and the directional weights rebuilt at the coarse dims,
+  scaled per axis by (coarse_dim/fine_dim)^2 — the 1/h^2 of the stencil
+  under anisotropic coarsening. The DATA block D = psi_d g g^T is
+  Galerkin-averaged instead: its 6 symmetric ENTRIES are restricted as a
+  quadratic form (restricting the factors psi_d and g separately
+  destroys the near-rank-1 pointwise structure — measured: the coarse
+  correction overshoots ~50x and the cycle diverges). Every MG level
+  point-solves the general SPD 3x3 via the precomputed symmetric inverse
+  (the same SolveTerms.ainv machinery as the gradient-constancy mode).
+- Everything is HaloCtx-generic: restriction/prolongation ride
+  ``pyramid.resize3`` (halo-aware Z windows), masks/parity/neighbors the
+  same grid helpers as the fine solver, so the V-cycle runs unchanged
+  under shard_map with Z-sharded coarse grids (coarse Z dims stay
+  multiples of the shard count). Static recursion depth: XLA sees one
+  unrolled V-cycle program per level count.
+- Cost accounting for the bench A/B: one V-cycle with nu1=nu2=2 costs
+  ~4 + 4/8 + 4/64 + ... < 4.6 fine-sweep-equivalents of HBM traffic
+  (each coarser level is ~1/8 the voxels) plus one residual (~1 sweep)
+  and two resizes. bench/mg_convergence.py measures residual-vs-
+  sweep-equivalents against plain SOR on the same frozen system.
+
+Not supported (v1): gamma > 0 (the residual and point solve assume the
+rank-1-plus-identity A; FlowParams validation rejects the combination)
+and the out-of-core piecewise path (a V-cycle needs the whole grid; the
+piecewise driver keeps solver="sor"/"jacobi").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpuflow3d.grid import HaloCtx, Z_AXIS, neighbor_slices, replicate_pad
+from tpuflow3d.params import FlowParams
+from tpuflow3d.pyramid import resize3
+from tpuflow3d.solver import (SolveTerms, _face_masks, _neighbors6,
+                              _sym3_inverse, parity_mask, sor_halfsweep)
+
+_MAX_MG_LEVELS = 8
+_COARSEST_MIN = 8  # stop coarsening once any dim would drop below ~4
+
+
+class MGLevel(NamedTuple):
+    terms: SolveTerms      # c=None; w + ainv set; rhs injected per cycle
+    d6: jax.Array          # (6, D, H, W) data-matrix entries
+                           # (00,01,02,11,12,22) — for the residual
+    sw: jax.Array          # (D, H, W) sum of neighbor weights
+    parity: jax.Array
+    shape_global: tuple[int, int, int]
+
+
+def mg_shapes(shape_global: tuple[int, int, int],
+              z_multiple: int) -> list[tuple[int, int, int]]:
+    """Global grid shapes, fine -> coarse: halve each axis (Z rounded up
+    to z_multiple, i.e. the shard count, so coarse grids stay
+    shard-mappable) until any axis hits the floor."""
+    shapes = [tuple(shape_global)]
+    while len(shapes) < _MAX_MG_LEVELS:
+        d, h, w = shapes[-1]
+        if min(d, h, w) < _COARSEST_MIN:
+            break
+        dc = max(z_multiple,
+                 z_multiple * ((d // 2 + z_multiple - 1) // z_multiple))
+        hc, wc = max(4, (h + 1) // 2), max(4, (w + 1) // 2)
+        if (dc, hc, wc) == (d, h, w):
+            break
+        shapes.append((dc, hc, wc))
+    return shapes
+
+
+def _weights(psi_s, axis_scale, alpha, ctx: HaloCtx):
+    """Directional smoothness weights + their sum for one MG grid
+    (compute_terms' weight block at arbitrary dims, with the per-axis
+    1/h^2 scale)."""
+    shape = psi_s.shape
+    dtype = psi_s.dtype
+    masks = _face_masks(shape, ctx, dtype)
+    psi_zp = ctx.zpad(psi_s, 1)
+    sw = jnp.zeros(shape, dtype)
+    w_dirs = []
+    for i, (axis, delta) in enumerate([(Z_AXIS, +1), (Z_AXIS, -1),
+                                       (-2, +1), (-2, -1),
+                                       (-1, +1), (-1, -1)]):
+        if axis == Z_AXIS:
+            pnb = neighbor_slices(psi_zp, 1, Z_AXIS, delta)
+        else:
+            pnb = neighbor_slices(replicate_pad(psi_s, 1, axis), 1, axis,
+                                  delta)
+        a_eff = alpha * axis_scale[i // 2]
+        wd = a_eff * 0.5 * (psi_s + pnb) * masks[i]
+        sw = sw + wd
+        w_dirs.append(wd)
+    return jnp.stack(w_dirs), sw
+
+
+def _assemble_level(w, sw, d6, shape_global, parity) -> MGLevel:
+    ainv = _sym3_inverse(sw + d6[0], d6[1], d6[2],
+                         sw + d6[3], d6[4], sw + d6[5])
+    t = SolveTerms(c=None, g=None, w=w, sw_inv=None, smt=None, ainv=ainv)
+    return MGLevel(terms=t, d6=d6, sw=sw, parity=parity,
+                   shape_global=shape_global)
+
+
+def build_mg_levels(t: SolveTerms, p: FlowParams, ctx: HaloCtx
+                    ) -> list[MGLevel]:
+    """MG hierarchy for one frozen nonlinearity update. Level 0 reuses the
+    fine weights and forms D = psi_d g g^T; coarser levels restrict psi_s
+    (weights rebuilt, 1/h^2-scaled) and the six D entries (Galerkin-
+    averaged quadratic form)."""
+    d_local = t.psi_s.shape[-3]
+    gshape = (ctx.d_global(d_local), t.psi_s.shape[-2], t.psi_s.shape[-1])
+    shapes = mg_shapes(gshape, ctx.n_shards)
+    g = t.g.astype(t.psi_s.dtype)
+    pd = t.psi_d
+    d6 = jnp.stack([pd * g[0] * g[0], pd * g[0] * g[1], pd * g[0] * g[2],
+                    pd * g[1] * g[1], pd * g[1] * g[2], pd * g[2] * g[2]])
+    sw0 = 1.0 / t.sw_inv
+    levels = [_assemble_level(t.w, sw0, d6, shapes[0],
+                              parity_mask(t.psi_s.shape, ctx))]
+    psi_s = t.psi_s
+    for shp in shapes[1:]:
+        d6 = resize3(d6, shp, ctx)
+        psi_s = resize3(psi_s, shp, ctx)
+        # Cumulative per-axis 1/h^2 of the smoothness stencil (z, y, x).
+        axis_scale = tuple((shp[a] / gshape[a]) ** 2 for a in range(3))
+        w, sw = _weights(psi_s, axis_scale, p.alpha, ctx)
+        levels.append(_assemble_level(w, sw, d6, shp,
+                                      parity_mask(psi_s.shape, ctx)))
+    return levels
+
+
+def _smooth(du, t: SolveTerms, parity, omega: float, n: int, ctx: HaloCtx):
+    if n <= 0:
+        return du
+
+    def body(_, du):
+        du = sor_halfsweep(du, t, omega, parity, 0, ctx)
+        return sor_halfsweep(du, t, omega, parity, 1, ctx)
+
+    return lax.fori_loop(0, n, body, du)
+
+
+def mg_residual(du, lvl: MGLevel, rhs, ctx: HaloCtx):
+    """r = rhs + sum_q w du_q - (sw*I + D) du_p — the defect of the
+    linearized system (solver.py's per-voxel form) at any MG level."""
+    du_nb = _neighbors6(du, ctx)
+    r = rhs.astype(du.dtype)
+    for wd, dnb in zip(lvl.terms.w, du_nb):
+        r = r + wd[None] * dnb
+    a = lvl.d6
+    d_du = jnp.stack([
+        a[0] * du[0] + a[1] * du[1] + a[2] * du[2],
+        a[1] * du[0] + a[3] * du[1] + a[4] * du[2],
+        a[2] * du[0] + a[4] * du[1] + a[5] * du[2],
+    ])
+    return r - (du * lvl.sw[None] + d_du)
+
+
+def _vcycle(du, rhs, levels: list[MGLevel], li: int, p: FlowParams,
+            ctx: HaloCtx):
+    lvl = levels[li]
+    t = lvl.terms._replace(c=rhs)
+    du = _smooth(du, t, lvl.parity, p.mg_omega, p.mg_pre, ctx)
+    if li == len(levels) - 1:
+        return _smooth(du, t, lvl.parity, p.mg_omega, p.mg_coarse_sweeps,
+                       ctx)
+    r = mg_residual(du, lvl, rhs, ctx)
+    rc = resize3(r, levels[li + 1].shape_global, ctx)
+    ec = jnp.zeros_like(rc)
+    ec = _vcycle(ec, rc, levels, li + 1, p, ctx)
+    du = du + resize3(ec, lvl.shape_global, ctx)
+    return _smooth(du, t, lvl.parity, p.mg_omega, p.mg_post, ctx)
+
+
+def mg_solve(du, t: SolveTerms, p: FlowParams, ctx: HaloCtx = HaloCtx(),
+             residuals_slot=None, slot_offset=0):
+    """p.mg_cycles V-cycles on the frozen linear system ``t`` (c = rhs),
+    starting from ``du``. With residual_tol > 0, stops cycling once the
+    psum'd mean |update| falls below it. Optionally records the per-cycle
+    update norm into ``residuals_slot`` at [slot_offset + cycle]."""
+    levels = build_mg_levels(t, p, ctx)
+    track = residuals_slot is not None
+    n_global = 3.0 * ctx.d_global(du.shape[-3]) * du.shape[-2] * du.shape[-1]
+
+    # Static unroll over cycles: the V-cycle is already a deep unrolled
+    # program and mg_cycles is small (<=4 in practice).
+    res = residuals_slot
+    stop = jnp.asarray(False)
+    for k in range(p.mg_cycles):
+        du_new = _vcycle(du, t.c, levels, 0, p, ctx)
+        delta = ctx.psum(jnp.sum(jnp.abs(du_new - du))) / n_global
+        du = jnp.where(stop, du, du_new)
+        if track:
+            idx = slot_offset + k
+            res = res.at[idx].set(jnp.where(stop, res[idx], delta))
+        if p.residual_tol > 0.0:
+            stop = jnp.logical_or(stop, delta < p.residual_tol)
+    return (du, res) if track else (du, None)

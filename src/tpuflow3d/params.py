@@ -20,7 +20,7 @@ from dataclasses import dataclass
 from typing import Literal
 
 Penalizer = Literal["charbonnier", "quadratic"]
-Solver = Literal["sor", "jacobi"]
+Solver = Literal["sor", "jacobi", "multigrid"]
 Backend = Literal["auto", "xla", "pallas"]
 
 
@@ -58,8 +58,23 @@ class FlowParams:
     warps: int = 3              # outer (warping) iterations per level
     inner_iterations: int = 3   # nonlinearity (psi-weight) updates per warp
     sweeps: int = 20            # solver sweeps per inner iteration (cap)
-    solver: Solver = "sor"      # red-black SOR or (damped) Jacobi
+    solver: Solver = "sor"      # red-black SOR, (damped) Jacobi, or
+                                # geometric multigrid V-cycles on the
+                                # linearized system (mgsolver.py — a
+                                # convergence-rate EXTENSION over the
+                                # reference's plain SOR; in-core +
+                                # sharded... see mgsolver docstring)
     omega: float = 1.9          # SOR relaxation; Jacobi uses min(omega, 1.0)
+    # --- multigrid controls (solver="multigrid") ---
+    mg_cycles: int = 2          # V-cycles per nonlinearity update (cap;
+                                # residual_tol stops early too)
+    mg_pre: int = 2             # pre-smoothing red-black sweeps per level
+    mg_post: int = 2            # post-smoothing sweeps per level
+    mg_coarse_sweeps: int = 16  # sweeps on the coarsest MG grid
+    mg_omega: float = 1.3       # smoother relaxation (high-omega SOR is a
+                                # poor MG smoother: it trades smoothing
+                                # factor for low-frequency speed the
+                                # coarse grid already provides)
     residual_tol: float = 0.0   # stop sweeping early once the mean update
                                 # norm (psum across shards) falls below this
                                 # (0 = always run all sweeps)
@@ -119,6 +134,22 @@ class FlowParams:
             raise ValueError("deriv_order must be 2 or 4")
         if self.interp not in ("trilinear", "tricubic"):
             raise ValueError("interp must be 'trilinear' or 'tricubic'")
+        if self.solver not in ("sor", "jacobi", "multigrid"):
+            raise ValueError("solver must be 'sor', 'jacobi' or 'multigrid'")
+        if self.solver == "multigrid":
+            if min(self.mg_cycles, self.mg_coarse_sweeps) < 1 or \
+                    min(self.mg_pre, self.mg_post) < 0:
+                raise ValueError("multigrid iteration counts out of range")
+            if self.mg_cycles > self.sweeps:
+                raise ValueError("mg_cycles must be <= sweeps (the "
+                                 "residual-slot width per inner iteration)")
+            if not (0.0 < self.mg_omega < 2.0):
+                raise ValueError("mg_omega must be in (0, 2)")
+            if self.gamma > 0.0:
+                raise ValueError("solver='multigrid' does not support the "
+                                 "gradient-constancy mode yet (its residual "
+                                 "needs the general-SPD diagonal); use "
+                                 "solver='sor' with gamma")
 
     # ---- derived quantities (all static) ----
 

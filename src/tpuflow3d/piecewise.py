@@ -652,6 +652,11 @@ def compute_flow_piecewise(i0, i1, params: FlowParams = FlowParams(),
     phase = PhaseTimer.maybe(timer)
 
     p = params
+    if p.solver == "multigrid":
+        raise ValueError("solver='multigrid' needs the whole grid resident "
+                         "(V-cycle restriction is global); the piecewise "
+                         "path streams chunks — use solver='sor'/'jacobi' "
+                         "here, or the in-core/sharded paths for multigrid")
     if p.flow_clamp <= 0:
         p = p.replace(flow_clamp=DEFAULT_FLOW_CLAMP)
     i0 = np.asarray(i0, np.float32)

@@ -351,6 +351,18 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
     def inner_body(k, carry):
         du, res = carry
         t = compute_terms(g, it, flow, du, p, ctx, gc=gc)
+        if p.solver == "multigrid":
+            # Geometric multigrid V-cycles on the frozen linear system
+            # (mgsolver.py) — a convergence-rate extension over the
+            # reference's plain SOR; per-cycle update norms land in the
+            # residual slot at this inner iteration's offset.
+            from tpuflow3d.mgsolver import mg_solve
+            du, res = mg_solve(du, t, p, ctx,
+                               residuals_slot=res if track else None,
+                               slot_offset=k * p.sweeps)
+            if not track:
+                res = carry[1]
+            return (du, res)
         if packed:
             # Pack du + the sweep constants once per nonlinearity update
             # (exact lane permutation, amortized over p.sweeps sweeps).
