@@ -133,3 +133,16 @@ def test_piecewise_rejects_multigrid():
     i0 = np.zeros((16, 8, 8), np.float32)
     with pytest.raises(ValueError, match="multigrid"):
         compute_flow_piecewise(i0, i0, FlowParams(solver="multigrid"))
+
+
+def test_cli_multigrid_flags():
+    from tpuflow3d.cli import build_parser, params_from_args
+    args = build_parser().parse_args(
+        ["--frame0", "a.raw", "--frame1", "b.raw", "--solver", "multigrid",
+         "--mg-cycles", "3", "--mg-pre", "1", "--mg-post", "2",
+         "--mg-coarse-sweeps", "8", "--mg-omega", "1.2"])
+    p = params_from_args(args)
+    assert p.solver == "multigrid"
+    assert (p.mg_cycles, p.mg_pre, p.mg_post, p.mg_coarse_sweeps) == \
+        (3, 1, 2, 8)
+    assert p.mg_omega == 1.2
