@@ -464,6 +464,10 @@ def main() -> int:
         "epe_converged_256_study": 0.0024,
         "epe_tricubic_192_study": 0.00056,
         "epe_tricubic_256": 0.00094,
+        # r3 record: multigrid twin of the converged tricubic config
+        # (STUDY_256.jsonl warps8_mg_tricubic_warpstepped) — ~3x fewer
+        # sweep-equivalents AND 2.75x lower EPE than the SOR gate row.
+        "epe_tricubic_mg_256": 0.00034,
         "accuracy_gate_1e3": "MET",
         "seconds_per_run": round(dt, 3),
         **kern,

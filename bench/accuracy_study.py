@@ -147,6 +147,15 @@ def main():
         ("warps8_restol_bf16terms", base.replace(warps=8, sweeps=60,
                                                  residual_tol=1e-6,
                                                  terms_dtype="bfloat16")),
+        # Round-3: multigrid twin of the converged config — same warps/
+        # nonlinearity schedule, the linear solve as <=3 V(2,2) cycles
+        # (~18 sweep-equivalents) instead of <=60 SOR sweeps. Gate: lands
+        # on the same EPE floor at a fraction of the sweep budget.
+        ("warps8_mg", base.replace(warps=8, solver="multigrid",
+                                   mg_cycles=3, residual_tol=1e-6)),
+        ("warps8_mg_tricubic", base.replace(warps=8, solver="multigrid",
+                                            mg_cycles=3, residual_tol=1e-6,
+                                            interp="tricubic")),
     ]
     if args.quick:
         configs = configs[:3]

@@ -70,6 +70,14 @@ class MGLevel(NamedTuple):
     sw: jax.Array          # (D, H, W) sum of neighbor weights
     parity: jax.Array
     shape_global: tuple[int, int, int]
+    alpha_eff: float | None = None
+    # Static uniform effective smoothness weight alpha * (1/h^2) when the
+    # three axis scales coincide (the common halving case) — lets the
+    # smoother run as the gc Pallas kernel (sor_halfsweep_gc_pallas
+    # consumes exactly (c, ainv, psi_s) and recomputes w from a single
+    # alpha in VMEM: 64 B/voxel vs ~88 for the XLA sweep). None when
+    # axis rounding made the scales anisotropic -> XLA smoother there.
+    psi_s: jax.Array | None = None
 
 
 def mg_shapes(shape_global: tuple[int, int, int],
@@ -116,12 +124,14 @@ def _weights(psi_s, axis_scale, alpha, ctx: HaloCtx):
     return jnp.stack(w_dirs), sw
 
 
-def _assemble_level(w, sw, d6, shape_global, parity) -> MGLevel:
+def _assemble_level(w, sw, d6, shape_global, parity, alpha_eff=None,
+                    psi_s=None) -> MGLevel:
     ainv = _sym3_inverse(sw + d6[0], d6[1], d6[2],
                          sw + d6[3], d6[4], sw + d6[5])
     t = SolveTerms(c=None, g=None, w=w, sw_inv=None, smt=None, ainv=ainv)
     return MGLevel(terms=t, d6=d6, sw=sw, parity=parity,
-                   shape_global=shape_global)
+                   shape_global=shape_global, alpha_eff=alpha_eff,
+                   psi_s=psi_s)
 
 
 def build_mg_levels(t: SolveTerms, p: FlowParams, ctx: HaloCtx
@@ -139,7 +149,8 @@ def build_mg_levels(t: SolveTerms, p: FlowParams, ctx: HaloCtx
                     pd * g[1] * g[1], pd * g[1] * g[2], pd * g[2] * g[2]])
     sw0 = 1.0 / t.sw_inv
     levels = [_assemble_level(t.w, sw0, d6, shapes[0],
-                              parity_mask(t.psi_s.shape, ctx))]
+                              parity_mask(t.psi_s.shape, ctx),
+                              alpha_eff=p.alpha, psi_s=t.psi_s)]
     psi_s = t.psi_s
     for shp in shapes[1:]:
         d6 = resize3(d6, shp, ctx)
@@ -147,18 +158,44 @@ def build_mg_levels(t: SolveTerms, p: FlowParams, ctx: HaloCtx
         # Cumulative per-axis 1/h^2 of the smoothness stencil (z, y, x).
         axis_scale = tuple((shp[a] / gshape[a]) ** 2 for a in range(3))
         w, sw = _weights(psi_s, axis_scale, p.alpha, ctx)
-        levels.append(_assemble_level(w, sw, d6, shp,
-                                      parity_mask(psi_s.shape, ctx)))
+        uniform = max(axis_scale) - min(axis_scale) < 1e-9
+        levels.append(_assemble_level(
+            w, sw, d6, shp, parity_mask(psi_s.shape, ctx),
+            alpha_eff=p.alpha * axis_scale[0] if uniform else None,
+            psi_s=psi_s))
     return levels
 
 
-def _smooth(du, t: SolveTerms, parity, omega: float, n: int, ctx: HaloCtx):
+def _smooth(du, lvl: MGLevel, rhs, p: FlowParams, n: int, ctx: HaloCtx):
+    """n red-black sweeps on lvl's system with rhs. Dispatches to the gc
+    Pallas kernel (64 B/voxel; it consumes exactly this level's
+    (c, ainv, psi_s) and recomputes w in VMEM from the uniform alpha_eff)
+    when the backend allows and the level's axis scales are uniform;
+    otherwise the XLA sweep."""
     if n <= 0:
         return du
+    from tpuflow3d.backend import pallas_interpret, use_pallas
+    t = lvl.terms._replace(c=rhs)
+    if use_pallas(p) and lvl.alpha_eff is not None:
+        from tpuflow3d.pallas.sor_gc import sor_halfsweep_gc_pallas
+        interp = pallas_interpret()
+        plo, phi = ctx.z_halo_planes(lvl.psi_s)
+        z0 = ctx.z0(du.shape[-3])
+        dg = lvl.shape_global[0]
+
+        def body(_, du):
+            for color in (0, 1):
+                lo, hi = ctx.z_halo_planes(du)
+                du = sor_halfsweep_gc_pallas(
+                    du, t.c, t.ainv, lvl.psi_s, lo, hi, plo, phi, z0,
+                    lvl.alpha_eff, p.mg_omega, color, dg, interpret=interp)
+            return du
+
+        return lax.fori_loop(0, n, body, du)
 
     def body(_, du):
-        du = sor_halfsweep(du, t, omega, parity, 0, ctx)
-        return sor_halfsweep(du, t, omega, parity, 1, ctx)
+        du = sor_halfsweep(du, t, p.mg_omega, lvl.parity, 0, ctx)
+        return sor_halfsweep(du, t, p.mg_omega, lvl.parity, 1, ctx)
 
     return lax.fori_loop(0, n, body, du)
 
@@ -182,17 +219,15 @@ def mg_residual(du, lvl: MGLevel, rhs, ctx: HaloCtx):
 def _vcycle(du, rhs, levels: list[MGLevel], li: int, p: FlowParams,
             ctx: HaloCtx):
     lvl = levels[li]
-    t = lvl.terms._replace(c=rhs)
-    du = _smooth(du, t, lvl.parity, p.mg_omega, p.mg_pre, ctx)
+    du = _smooth(du, lvl, rhs, p, p.mg_pre, ctx)
     if li == len(levels) - 1:
-        return _smooth(du, t, lvl.parity, p.mg_omega, p.mg_coarse_sweeps,
-                       ctx)
+        return _smooth(du, lvl, rhs, p, p.mg_coarse_sweeps, ctx)
     r = mg_residual(du, lvl, rhs, ctx)
     rc = resize3(r, levels[li + 1].shape_global, ctx)
     ec = jnp.zeros_like(rc)
     ec = _vcycle(ec, rc, levels, li + 1, p, ctx)
     du = du + resize3(ec, lvl.shape_global, ctx)
-    return _smooth(du, t, lvl.parity, p.mg_omega, p.mg_post, ctx)
+    return _smooth(du, lvl, rhs, p, p.mg_post, ctx)
 
 
 def mg_solve(du, t: SolveTerms, p: FlowParams, ctx: HaloCtx = HaloCtx(),

@@ -146,3 +146,18 @@ def test_cli_multigrid_flags():
     assert (p.mg_cycles, p.mg_pre, p.mg_post, p.mg_coarse_sweeps) == \
         (3, 1, 2, 8)
     assert p.mg_omega == 1.2
+
+
+def test_mg_pallas_smoother_matches_xla():
+    """The MG smoother dispatches to the gc Pallas kernel (uniform
+    alpha_eff levels) under backend='pallas'; results must match the XLA
+    smoother bit-tolerance-level."""
+    shape = (16, 16, 16)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 0.5)),
+                              seed=5)
+    base = dict(levels=2, warps=1, inner_iterations=1, sweeps=4,
+                solver="multigrid", mg_cycles=2, alpha=0.05)
+    ref = np.asarray(compute_flow(i0, i1, FlowParams(backend="xla", **base)))
+    got = np.asarray(compute_flow(i0, i1,
+                                  FlowParams(backend="pallas", **base)))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
