@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="input dtype (uint8/uint16/float32/...)")
     ap.add_argument("--out", default="flow_", help="output path prefix")
     ap.add_argument("--no-magnitude", action="store_true")
+    ap.add_argument("--export-vtk", action="store_true",
+                    help="also write <out>flow.vtk (legacy-VTK VECTORS, "
+                         "ParaView drag-and-drop; + <out>magnitude.vtk "
+                         "unless --no-magnitude). The reference emits only "
+                         "headerless raw, forcing hand-built readers")
     ap.add_argument("--derived", default=None, metavar="FIELDS",
                     help="comma list of derived fields to write next to "
                          "u/v/w: divergence (expansion rate), curl "
@@ -250,6 +255,20 @@ def _parse_derived(args) -> tuple:
             raise ValueError(f"unknown --derived field {name!r}; choose "
                              f"from {', '.join(DERIVED_FIELDS)}")
     return which
+
+
+def _export_vtk(args, log, prefix: str, flow) -> None:
+    if not getattr(args, "export_vtk", False):
+        return
+    from tpuflow3d import vtkio
+    flow = np.asarray(flow)
+    files = [f"{prefix}flow.vtk"]
+    vtkio.write_vtk_flow(files[0], flow)
+    if not args.no_magnitude:
+        mag = np.sqrt((flow ** 2).sum(axis=0, dtype=np.float32))
+        files.append(f"{prefix}magnitude.vtk")
+        vtkio.write_vtk_scalar(files[1], mag, name="flow_magnitude")
+    log.log("vtk_written", files=files)
 
 
 def _write_derived(args, log, prefix: str, flow) -> None:
@@ -565,6 +584,7 @@ def _run_sequence(args, params, log) -> int:
                 vio.write_flow(prefix, flow,
                                magnitude=not args.no_magnitude)
                 _write_derived(args, log, prefix, flow)
+                _export_vtk(args, log, prefix, flow)
 
             wfut = writer.submit(_write_outputs)
             log.log("pair_done", t=t, frame0=args.frames[t], frame1=path,
@@ -641,6 +661,7 @@ def _run(args) -> int:
     vio.write_flow(args.out, flow, magnitude=not args.no_magnitude)
     log.log("written", prefix=args.out)
     _write_derived(args, log, args.out, flow)
+    _export_vtk(args, log, args.out, flow)
     if args.check_consistency:
         from tpuflow3d.postproc import consistency_error
         # Reverse solve reuses the compiled executable (same shapes/params).

@@ -484,3 +484,53 @@ def test_cli_piecewise_diagnostics_streamed(tmp_path, monkeypatch):
     stats = {e["volume"]: e for e in events if e["event"] == "statistics"}
     assert "flow_magnitude" in stats
     assert stats["flow_magnitude"]["min"] >= 0.0
+
+
+def test_vtk_roundtrip(tmp_path):
+    from tpuflow3d import vtkio
+
+    rng = np.random.default_rng(7)
+    flow = rng.normal(size=(3, 6, 5, 4)).astype(np.float32)
+    fp = str(tmp_path / "flow.vtk")
+    vtkio.write_vtk_flow(fp, flow)
+    back, kind = vtkio.read_vtk(fp)
+    assert kind == "vector"
+    np.testing.assert_array_equal(back, flow)
+    # On-disk payload is big-endian (vx,vy,vz) interleaved, per legacy-VTK
+    # spec: check one voxel's bytes directly against the (dz,dy,dx) source.
+    raw = open(fp, "rb").read()
+    off = raw.index(b"VECTORS flow float\n") + len(b"VECTORS flow float\n")
+    first = np.frombuffer(raw, dtype=">f4", count=3, offset=off)
+    np.testing.assert_array_equal(
+        first.astype(np.float32), flow[::-1, 0, 0, 0])
+
+    mag = np.sqrt((flow ** 2).sum(axis=0))
+    sp = str(tmp_path / "mag.vtk")
+    vtkio.write_vtk_scalar(sp, mag, name="flow_magnitude")
+    back, kind = vtkio.read_vtk(sp)
+    assert kind == "scalar"
+    np.testing.assert_allclose(back, mag, rtol=1e-6)
+
+
+def test_cli_export_vtk(tmp_path):
+    from tpuflow3d import cli, vtkio
+    from tpuflow3d import synthetic as syn
+
+    i0, i1, _ = syn.make_pair((16, 16, 16), syn.translation((0.0, 0.0, 1.0)))
+    f0, f1 = str(tmp_path / "a.raw"), str(tmp_path / "b.raw")
+    vio.write_raw(f0, i0)
+    vio.write_raw(f1, i1)
+    out = str(tmp_path / "flow_")
+    rc = cli.main(["--frame0", f0, "--frame1", f1, "--out", out,
+                   "--levels", "1", "--warps", "1", "--sweeps", "4",
+                   "--alpha", "0.05", "--export-vtk"])
+    assert rc == 0
+    vec, kind = vtkio.read_vtk(out + "flow.vtk")
+    assert kind == "vector" and vec.shape == (3, 16, 16, 16)
+    # The .vtk payload must be the same field as the raw outputs.
+    u = vio.read_raw(out + "u.raw")
+    np.testing.assert_allclose(vec[2], u, rtol=1e-6)
+    mag, kind = vtkio.read_vtk(out + "magnitude.vtk")
+    assert kind == "scalar"
+    np.testing.assert_allclose(
+        mag, vio.read_raw(out + "magnitude.raw"), rtol=1e-6)
