@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "ParaView drag-and-drop; + <out>magnitude.vtk "
                          "unless --no-magnitude). The reference emits only "
                          "headerless raw, forcing hand-built readers")
+    ap.add_argument("--apply-flow", default=None, metavar="PREFIX",
+                    help="no solve: backward-warp --frame1 by an existing "
+                         "flow (<PREFIX>{u,v,w}.raw) and write "
+                         "<out>warped.raw — motion compensation of any "
+                         "volume (e.g. a segmentation) by a computed "
+                         "field; honors --interp")
     ap.add_argument("--derived", default=None, metavar="FIELDS",
                     help="comma list of derived fields to write next to "
                          "u/v/w: divergence (expansion rate), curl "
@@ -198,10 +204,51 @@ def _list_ops() -> int:
     return 0
 
 
+def _apply_flow(args) -> int:
+    """Warp --frame1 by an already-computed flow field (no solve).
+
+    Backward warp Ĩ(x) = I(x + s(x)) — the same registration operation the
+    solver applies internally (SURVEY.md §2 step 2a), exposed standalone so
+    a computed field can motion-compensate other volumes of the same grid
+    (segmentations, later frames, other channels)."""
+    import jax
+
+    from tpuflow3d.warp import warp_volume
+
+    if not args.frame1:
+        raise ValueError("--apply-flow needs --frame1 (the volume to warp)")
+    vol = _load(args.frame1, args.dims, args.dtype)
+    comps = {}
+    for name, ci in vio.FLOW_COMPONENT_FILES.items():
+        comps[ci] = vio.read_raw(f"{args.apply_flow}{name}.raw",
+                                 vio.VolumeMeta(vol.shape, "float32")
+                                 if args.dims else None)
+    flow = np.stack([comps[0], comps[1], comps[2]])
+    if flow.shape[1:] != vol.shape:
+        raise ValueError(f"flow grid {flow.shape[1:]} != volume grid "
+                         f"{vol.shape}")
+    interp = args.interp or "trilinear"
+    warped = jax.jit(warp_volume, static_argnames=("interp",))(
+        vol, flow, interp=interp)
+    out = f"{args.out}warped.raw"
+    vio.write_raw(out, np.asarray(warped))
+    print(f"tpuflow3d: warped {args.frame1} by {args.apply_flow} "
+          f"({interp}) -> {out}", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.list_ops:
         return _list_ops()
+    if args.apply_flow:
+        try:
+            return _apply_flow(args)
+        except (ValueError, OSError) as e:
+            if args.traceback:
+                raise
+            print(f"tpuflow3d: error: {e}", file=sys.stderr)
+            return 2
     if not args.frames and (not args.frame0 or not args.frame1):
         print("tpuflow3d: error: --frame0 and --frame1 (or --frames) are "
               "required", file=sys.stderr)

@@ -534,3 +534,33 @@ def test_cli_export_vtk(tmp_path):
     assert kind == "scalar"
     np.testing.assert_allclose(
         mag, vio.read_raw(out + "magnitude.raw"), rtol=1e-6)
+
+
+def test_cli_apply_flow(tmp_path):
+    from tpuflow3d import cli
+
+    # A linear x-ramp backward-warped by a constant +1-voxel x flow must
+    # equal ramp+1 in the interior (exact for trilinear on a ramp).
+    d = 12
+    ramp = np.broadcast_to(
+        np.arange(d, dtype=np.float32), (d, d, d)).copy()
+    vp = str(tmp_path / "vol.raw")
+    vio.write_raw(vp, ramp)
+    flow = np.zeros((3, d, d, d), np.float32)
+    flow[2] = 1.0
+    vio.write_flow(str(tmp_path / "f_"), flow, magnitude=False)
+    out = str(tmp_path / "out_")
+    rc = cli.main(["--apply-flow", str(tmp_path / "f_"), "--frame1", vp,
+                   "--out", out])
+    assert rc == 0
+    warped = vio.read_raw(out + "warped.raw")
+    np.testing.assert_allclose(warped[:, :, :-1], ramp[:, :, :-1] + 1.0,
+                               atol=1e-5)
+    # Last x-plane clamps to the boundary value.
+    np.testing.assert_allclose(warped[:, :, -1], ramp[:, :, -1], atol=1e-5)
+
+    # Grid mismatch is a friendly error, not a crash.
+    bad = str(tmp_path / "bad.raw")
+    vio.write_raw(bad, np.zeros((4, 4, 4), np.float32))
+    assert cli.main(["--apply-flow", str(tmp_path / "f_"), "--frame1", bad,
+                     "--out", out]) == 2
