@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "ParaView drag-and-drop; + <out>magnitude.vtk "
                          "unless --no-magnitude). The reference emits only "
                          "headerless raw, forcing hand-built readers")
+    ap.add_argument("--track", default=None, metavar="SEEDS.csv",
+                    help="with --frames: Lagrangian particle tracking — "
+                         "advance the seed points (CSV lines z,y,x) "
+                         "through each pair's flow (p += s_t(p), flow "
+                         "sampled trilinearly at the moving points) and "
+                         "write <out>tracks.csv (t,point,z,y,x)")
     ap.add_argument("--apply-flow", default=None, metavar="PREFIX",
                     help="no solve: backward-warp --frame1 by an existing "
                          "flow (<PREFIX>{u,v,w}.raw) and write "
@@ -280,6 +286,9 @@ def _check_path_flags(args) -> None:
         raise ValueError(f"{' and '.join(modes)} are mutually exclusive")
     # Validate --derived BEFORE the (potentially hours-long) solve.
     _parse_derived(args)
+    if args.track and not args.frames:
+        raise ValueError("--track requires --frames (a time series to "
+                         "integrate the seed points through)")
     if args.derived and args.distributed:
         raise ValueError(
             "--derived needs the assembled global flow; the distributed "
@@ -584,7 +593,16 @@ def _run_sequence(args, params, log) -> int:
     if len(args.frames) < 2:
         raise ValueError("--frames needs at least 2 volumes")
     if args.distributed:
+        if args.track:
+            raise ValueError(
+                "--track needs the assembled global flow; run it on the "
+                "written flows afterwards (tpuflow3d.postproc)")
         return _run_sequence_distributed(args, params, log)
+    tracks = None
+    if args.track:
+        from tpuflow3d import postproc
+        pts = postproc.read_seed_csv(args.track)
+        tracks = [pts]
     timer = None
     if args.timings:
         from tpuflow3d.utils.profiling import PhaseTimer
@@ -634,6 +652,10 @@ def _run_sequence(args, params, log) -> int:
                 _export_vtk(args, log, prefix, flow)
 
             wfut = writer.submit(_write_outputs)
+            if tracks is not None:
+                from tpuflow3d import postproc
+                tracks.append(
+                    postproc.advance_points(np.asarray(flow), tracks[-1]))
             log.log("pair_done", t=t, frame0=args.frames[t], frame1=path,
                     seconds=dt, voxels_per_s=float(np.prod(i0.shape)) / dt,
                     prefix=prefix)
@@ -647,6 +669,14 @@ def _run_sequence(args, params, log) -> int:
             i0 = i1
         if wfut is not None:
             wfut.result()  # surface writer errors before declaring success
+    if tracks is not None:
+        from tpuflow3d import postproc
+        path = f"{args.out}tracks.csv"
+        postproc.write_tracks_csv(path, np.stack(tracks))
+        log.log("tracks_written", path=path, points=len(tracks[0]),
+                steps=len(tracks) - 1)
+        print(f"tpuflow3d: {len(tracks[0])} tracks over "
+              f"{len(tracks) - 1} steps -> {path}", file=sys.stderr)
     if timer is not None:
         log.log("timings", phases=timer.report())
     return 0

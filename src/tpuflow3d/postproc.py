@@ -192,3 +192,76 @@ def write_derived(prefix: str, flow: np.ndarray, which) -> list[str]:
             raise ValueError(f"unknown derived field {name!r}; "
                              f"choose from {DERIVED_FIELDS}")
     return written
+
+
+def sample_flow_at(flow: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Trilinearly sample a (3, D, H, W) flow at scattered (N, 3) points.
+
+    ``pts`` are fractional (z, y, x) voxel coordinates; out-of-range
+    points clamp to the boundary (the solver's warp convention,
+    SURVEY.md §10 "out-of-range warp lookups clamp"). Returns (N, 3)
+    displacement vectors in (dz, dy, dx) channel order.
+    """
+    flow = np.asarray(flow)
+    pts = np.asarray(pts, np.float64)
+    if flow.ndim != 4 or flow.shape[0] != 3:
+        raise ValueError(f"flow must be (3,D,H,W), got {flow.shape}")
+    if pts.ndim != 2 or pts.shape[1] != 3:
+        raise ValueError(f"pts must be (N,3) zyx, got {pts.shape}")
+    dims = np.asarray(flow.shape[1:], np.float64)
+    p = np.clip(pts, 0.0, dims - 1.0)
+    lo = np.minimum(np.floor(p), dims - 2.0).astype(np.int64)
+    lo = np.maximum(lo, 0)
+    f = p - lo  # (N, 3) in [0, 1]
+    out = np.zeros((pts.shape[0], 3), np.float64)
+    for cz in (0, 1):
+        for cy in (0, 1):
+            for cx in (0, 1):
+                wgt = (np.where(cz, f[:, 0], 1 - f[:, 0])
+                       * np.where(cy, f[:, 1], 1 - f[:, 1])
+                       * np.where(cx, f[:, 2], 1 - f[:, 2]))
+                vals = flow[:, lo[:, 0] + cz, lo[:, 1] + cy, lo[:, 2] + cx]
+                out += wgt[:, None] * vals.T
+    return out
+
+
+def advance_points(flow: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """One Lagrangian step: p_{t+1} = p_t + s_t(p_t).
+
+    The solver's field satisfies I1(x + s(x)) = I0(x) — a particle at x
+    in the fixed frame sits at x + s(x) in the moving frame — so
+    integrating a --frames sequence tracks material points through the
+    4D acquisition (the standard downstream use of the reference's
+    output in time-resolved tomography).
+    """
+    return np.asarray(pts, np.float64) + sample_flow_at(flow, pts)
+
+
+def read_seed_csv(path: str) -> np.ndarray:
+    """Read (z, y, x) seed points, one comma-separated triple per line
+    (header lines and blanks ignored)."""
+    rows = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split(",")
+            try:
+                rows.append([float(v) for v in parts[:3]])
+            except ValueError:
+                continue  # header
+    if not rows:
+        raise ValueError(f"no seed points in {path}")
+    return np.asarray(rows, np.float64)
+
+
+def write_tracks_csv(path: str, tracks: np.ndarray) -> None:
+    """Write (T, N, 3) trajectories as CSV rows t,point,z,y,x."""
+    tracks = np.asarray(tracks)
+    with open(path, "w") as fh:
+        fh.write("t,point,z,y,x\n")
+        for t in range(tracks.shape[0]):
+            for n in range(tracks.shape[1]):
+                z, y, x = tracks[t, n]
+                fh.write(f"{t},{n},{z:.6f},{y:.6f},{x:.6f}\n")

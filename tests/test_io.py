@@ -564,3 +564,37 @@ def test_cli_apply_flow(tmp_path):
     vio.write_raw(bad, np.zeros((4, 4, 4), np.float32))
     assert cli.main(["--apply-flow", str(tmp_path / "f_"), "--frame1", bad,
                      "--out", out]) == 2
+
+
+def test_cli_sequence_tracking(tmp_path):
+    """--track: seed points advance by ~the prescribed shift per pair."""
+    from tpuflow3d import cli
+    from tpuflow3d import synthetic as syn
+
+    shift = (0.0, 0.0, 1.0)
+    i0, i1, _ = syn.make_pair((24, 24, 24), syn.translation(shift))
+    paths = []
+    for t, arr in enumerate([i0, i1, i1]):
+        p = str(tmp_path / f"t{t}.raw")
+        vio.write_raw(p, np.asarray(arr))
+        paths.append(p)
+    seeds = str(tmp_path / "seeds.csv")
+    with open(seeds, "w") as fh:
+        fh.write("z,y,x\n12.0,12.0,10.0\n12.0,10.0,14.0\n")
+    out = str(tmp_path / "seq_")
+    rc = cli.main(["--frames", *paths, "--out", out, "--track", seeds,
+                   "--levels", "2", "--warps", "2", "--sweeps", "10",
+                   "--alpha", "0.05", "--no-magnitude"])
+    assert rc == 0
+    rows = np.loadtxt(out + "tracks.csv", delimiter=",", skiprows=1)
+    tracks = rows[:, 2:].reshape(3, 2, 3)  # (T+1, N, 3)
+    np.testing.assert_allclose(tracks[0], [[12, 12, 10], [12, 10, 14]])
+    # Pair 0 has real motion: x advances by ~1 voxel, z/y stay put.
+    assert abs(tracks[1, 0, 2] - tracks[0, 0, 2] - 1.0) < 0.35
+    assert abs(tracks[1, 0, 0] - tracks[0, 0, 0]) < 0.2
+    # Pair 1 is identical frames: points stand still.
+    np.testing.assert_allclose(tracks[2], tracks[1], atol=0.1)
+
+    # --track outside --frames mode is a friendly error.
+    assert cli.main(["--frame0", paths[0], "--frame1", paths[1],
+                     "--out", out, "--track", seeds]) == 2

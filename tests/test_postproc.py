@@ -181,3 +181,44 @@ def test_streamed_ops_independent_of_chunk_size():
     ca = consistency_error(flow, bwd, chunk_z=5)
     cb = consistency_error(flow, bwd, chunk_z=64)
     np.testing.assert_allclose(ca, cb, atol=1e-5, rtol=1e-5)
+
+
+def test_sample_flow_at_and_advance():
+    from tpuflow3d import postproc
+
+    # Linear-in-x flow: s = (0, 0, 0.5 + 0.1*x). Trilinear sampling is
+    # exact on linear fields at fractional positions.
+    d = 8
+    flow = np.zeros((3, d, d, d), np.float64)
+    x = np.arange(d, dtype=np.float64)
+    flow[2] = 0.5 + 0.1 * x[None, None, :]
+    pts = np.array([[2.0, 3.0, 1.5], [4.25, 0.5, 6.0], [0.0, 0.0, 0.0]])
+    s = postproc.sample_flow_at(flow, pts)
+    np.testing.assert_allclose(s[:, 0], 0.0, atol=1e-12)
+    np.testing.assert_allclose(s[:, 1], 0.0, atol=1e-12)
+    np.testing.assert_allclose(s[:, 2], 0.5 + 0.1 * pts[:, 2], atol=1e-12)
+    adv = postproc.advance_points(flow, pts)
+    np.testing.assert_allclose(adv, pts + s, atol=1e-12)
+    # Out-of-range points clamp (warp convention, SURVEY.md §10).
+    far = postproc.sample_flow_at(flow, np.array([[0.0, 0.0, 99.0]]))
+    np.testing.assert_allclose(far[0, 2], 0.5 + 0.1 * (d - 1), atol=1e-12)
+
+
+def test_tracks_csv_roundtrip(tmp_path):
+    from tpuflow3d import postproc
+
+    tracks = np.arange(2 * 3 * 3, dtype=np.float64).reshape(2, 3, 3) / 7.0
+    p = str(tmp_path / "tracks.csv")
+    postproc.write_tracks_csv(p, tracks)
+    rows = np.loadtxt(p, delimiter=",", skiprows=1)
+    assert rows.shape == (6, 5)  # t,point,z,y,x per (t, point)
+    np.testing.assert_allclose(
+        rows[:, 2:].reshape(2, 3, 3), tracks, atol=1e-6)
+    np.testing.assert_array_equal(rows[:, 0], [0, 0, 0, 1, 1, 1])
+
+    # Seed files: z,y,x triples with a header line tolerated.
+    sp = str(tmp_path / "seeds.csv")
+    with open(sp, "w") as fh:
+        fh.write("z,y,x\n1.0,2.0,3.0\n\n4.5,5.5,6.5\n")
+    seeds = postproc.read_seed_csv(sp)
+    np.testing.assert_allclose(seeds, [[1, 2, 3], [4.5, 5.5, 6.5]])
