@@ -208,6 +208,9 @@ def sample_flow_at(flow: np.ndarray, pts: np.ndarray) -> np.ndarray:
         raise ValueError(f"flow must be (3,D,H,W), got {flow.shape}")
     if pts.ndim != 2 or pts.shape[1] != 3:
         raise ValueError(f"pts must be (N,3) zyx, got {pts.shape}")
+    if min(flow.shape[1:]) < 2:
+        raise ValueError(f"flow grid too small to interpolate: "
+                         f"{flow.shape[1:]}")
     dims = np.asarray(flow.shape[1:], np.float64)
     p = np.clip(pts, 0.0, dims - 1.0)
     lo = np.minimum(np.floor(p), dims - 2.0).astype(np.int64)
