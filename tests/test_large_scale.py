@@ -1,8 +1,9 @@
 """Top-of-ladder machinery evidence (BASELINE.json configs 4-5): a 512^3
 Z-sharded run on the 8-virtual-device CPU mesh must match the unsharded
-run. Slow (minutes on 4 CPU cores) and memory-heavy, so it runs only when
-TPUFLOW_RUN_512=1 (set by bench/run_large_evidence.sh, whose committed
-output is VALIDATION.md's 512^3 row)."""
+run. Slow (~1 h on 4 CPU cores, peak ~90 GB RAM), so it runs only when
+TPUFLOW_RUN_512=1 (bench/run_large_evidence.sh). Committed output of the
+r3 run: LARGE512_r03.log + the 512^3 row in VALIDATION.md ("Top-of-ladder
+sharded equality": max|d| 9.95e-07 vs the unsharded oracle)."""
 
 import os
 
