@@ -249,6 +249,17 @@ def main(argv=None) -> int:
         return _list_ops()
     if args.apply_flow:
         try:
+            conflicts = [name for name, on in [
+                ("--frames", bool(args.frames)),
+                ("--piecewise", args.piecewise),
+                ("--sharded", args.sharded),
+                ("--distributed", args.distributed),
+                ("--track", bool(args.track)),
+                ("--derived", bool(args.derived))] if on]
+            if conflicts:
+                raise ValueError(
+                    f"--apply-flow is a standalone post-processing mode; "
+                    f"it cannot be combined with {' or '.join(conflicts)}")
             return _apply_flow(args)
         except (ValueError, OSError) as e:
             if args.traceback:
@@ -294,6 +305,11 @@ def _check_path_flags(args) -> None:
             "--derived needs the assembled global flow; the distributed "
             "path writes per-process slabs. Compute derived fields from "
             "the written u/v/w raws afterwards (tpuflow3d.postproc).")
+    if getattr(args, "export_vtk", False) and args.distributed:
+        raise ValueError(
+            "--export-vtk needs the assembled global flow; the distributed "
+            "path writes per-process slabs. Export VTK from the written "
+            "u/v/w raws afterwards (tpuflow3d.vtkio).")
     if args.check_consistency and (args.distributed or args.frames):
         raise ValueError(
             "--check-consistency supports the single-pair paths only "

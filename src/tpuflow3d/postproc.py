@@ -208,6 +208,11 @@ def sample_flow_at(flow: np.ndarray, pts: np.ndarray) -> np.ndarray:
         raise ValueError(f"flow must be (3,D,H,W), got {flow.shape}")
     if pts.ndim != 2 or pts.shape[1] != 3:
         raise ValueError(f"pts must be (N,3) zyx, got {pts.shape}")
+    if not np.isfinite(pts).all():
+        bad = np.where(~np.isfinite(pts).all(axis=1))[0]
+        raise ValueError(f"non-finite sample point(s) at row(s) "
+                         f"{bad[:8].tolist()}: corrupt seeds would produce "
+                         f"silently wrong trajectories")
     if min(flow.shape[1:]) < 2:
         raise ValueError(f"flow grid too small to interpolate: "
                          f"{flow.shape[1:]}")
@@ -241,19 +246,31 @@ def advance_points(flow: np.ndarray, pts: np.ndarray) -> np.ndarray:
 
 
 def read_seed_csv(path: str) -> np.ndarray:
-    """Read (z, y, x) seed points, one comma-separated triple per line
-    (header lines and blanks ignored)."""
+    """Read (z, y, x) seed points, one comma-separated triple per line.
+
+    Only a non-numeric FIRST line is tolerated as a header; any later
+    malformed or short row raises with its line number — a typo'd seed
+    must fail loudly, not vanish from the track set."""
     rows = []
+    first_data_seen = False
     with open(path) as fh:
-        for line in fh:
+        for lineno, line in enumerate(fh, start=1):
             line = line.strip()
             if not line:
                 continue
             parts = line.split(",")
+            if len(parts) < 3:
+                raise ValueError(f"{path}:{lineno}: expected 3 "
+                                 f"comma-separated values (z,y,x), got "
+                                 f"{len(parts)}: {line!r}")
             try:
                 rows.append([float(v) for v in parts[:3]])
             except ValueError:
-                continue  # header
+                if not first_data_seen and not rows:
+                    continue  # header line
+                raise ValueError(f"{path}:{lineno}: could not parse seed "
+                                 f"row {line!r}") from None
+            first_data_seen = True
     if not rows:
         raise ValueError(f"no seed points in {path}")
     return np.asarray(rows, np.float64)

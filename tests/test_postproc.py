@@ -222,3 +222,69 @@ def test_tracks_csv_roundtrip(tmp_path):
         fh.write("z,y,x\n1.0,2.0,3.0\n\n4.5,5.5,6.5\n")
     seeds = postproc.read_seed_csv(sp)
     np.testing.assert_allclose(seeds, [[1, 2, 3], [4.5, 5.5, 6.5]])
+
+
+def test_read_seed_csv_rejects_malformed_rows(tmp_path):
+    import pytest
+
+    from tpuflow3d import postproc
+
+    # A short row (fewer than 3 fields) must raise with its line number,
+    # not produce a ragged-array crash downstream.
+    p = str(tmp_path / "short.csv")
+    with open(p, "w") as fh:
+        fh.write("z,y,x\n1.0,2.0,3.0\n1,2\n")
+    with pytest.raises(ValueError, match="short.csv:3"):
+        postproc.read_seed_csv(p)
+
+    # A typo'd later row must raise, not silently vanish as a "header".
+    p = str(tmp_path / "typo.csv")
+    with open(p, "w") as fh:
+        fh.write("1.0,2.0,3.0\n4.x,5.0,6.0\n")
+    with pytest.raises(ValueError, match="typo.csv:2"):
+        postproc.read_seed_csv(p)
+
+    # Only a non-numeric FIRST line passes as a header.
+    p = str(tmp_path / "hdr.csv")
+    with open(p, "w") as fh:
+        fh.write("z,y,x\n7.0,8.0,9.0\n")
+    np.testing.assert_allclose(postproc.read_seed_csv(p), [[7, 8, 9]])
+
+
+def test_sample_flow_at_rejects_nonfinite_points():
+    import pytest
+
+    from tpuflow3d import postproc
+
+    flow = np.zeros((3, 4, 4, 4), np.float64)
+    pts = np.array([[1.0, 1.0, 1.0], [np.nan, 2.0, 2.0]])
+    with pytest.raises(ValueError, match="non-finite"):
+        postproc.sample_flow_at(flow, pts)
+
+
+def test_cli_apply_flow_rejects_solve_mode_flags(tmp_path):
+    from tpuflow3d import cli
+
+    # --apply-flow combined with any solve-mode flag is an error (exit 2),
+    # not a silently ignored flag.
+    rc = cli.main(["--apply-flow", str(tmp_path / "pfx_"),
+                   "--frame1", str(tmp_path / "f1.raw"), "--out",
+                   str(tmp_path / "o_"), "--piecewise"])
+    assert rc == 2
+    rc = cli.main(["--apply-flow", str(tmp_path / "pfx_"),
+                   "--frame1", str(tmp_path / "f1.raw"), "--out",
+                   str(tmp_path / "o_"), "--track",
+                   str(tmp_path / "seeds.csv")])
+    assert rc == 2
+
+
+def test_cli_export_vtk_rejected_with_distributed():
+    import pytest
+
+    from tpuflow3d import cli
+
+    args = cli.build_parser().parse_args(
+        ["--frame0", "a.raw", "--frame1", "b.raw", "--distributed",
+         "--export-vtk"])
+    with pytest.raises(ValueError, match="export-vtk"):
+        cli._check_path_flags(args)
