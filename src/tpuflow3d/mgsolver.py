@@ -39,10 +39,12 @@ Design:
   and two resizes. bench/mg_convergence.py measures residual-vs-
   sweep-equivalents against plain SOR on the same frozen system.
 
-Not supported (v1): gamma > 0 (the residual and point solve assume the
-rank-1-plus-identity A; FlowParams validation rejects the combination)
-and the out-of-core piecewise path (a V-cycle needs the whole grid; the
-piecewise driver keeps solver="sor"/"jacobi").
+Gradient constancy (gamma > 0) composes: compute_terms hands the full
+data block D = psi_d g g^T + psi_g sum_a h_a h_a^T as six symmetric
+entries (SolveTerms.d6) and the Galerkin quadratic-form restriction,
+general-SPD point solve, and gc Pallas smoother are all rank-agnostic.
+Not supported (v1): the out-of-core piecewise path (a V-cycle needs the
+whole grid; the piecewise driver keeps solver="sor"/"jacobi").
 """
 
 from __future__ import annotations
@@ -143,10 +145,18 @@ def build_mg_levels(t: SolveTerms, p: FlowParams, ctx: HaloCtx
     d_local = t.psi_s.shape[-3]
     gshape = (ctx.d_global(d_local), t.psi_s.shape[-2], t.psi_s.shape[-1])
     shapes = mg_shapes(gshape, ctx.n_shards)
-    g = t.g.astype(t.psi_s.dtype)
-    pd = t.psi_d
-    d6 = jnp.stack([pd * g[0] * g[0], pd * g[0] * g[1], pd * g[0] * g[2],
-                    pd * g[1] * g[1], pd * g[1] * g[2], pd * g[2] * g[2]])
+    if t.d6 is not None:
+        # Gradient-constancy mode: compute_terms already assembled the full
+        # data block D = psi_d g g^T + psi_g sum_a h_a h_a^T; the Galerkin
+        # quadratic-form restriction below is rank-agnostic, so the whole
+        # hierarchy (and the general-SPD smoother) works unchanged.
+        d6 = t.d6
+    else:
+        g = t.g.astype(t.psi_s.dtype)
+        pd = t.psi_d
+        d6 = jnp.stack([pd * g[0] * g[0], pd * g[0] * g[1],
+                        pd * g[0] * g[2], pd * g[1] * g[1],
+                        pd * g[1] * g[2], pd * g[2] * g[2]])
     sw0 = 1.0 / t.sw_inv
     levels = [_assemble_level(t.w, sw0, d6, shapes[0],
                               parity_mask(t.psi_s.shape, ctx),

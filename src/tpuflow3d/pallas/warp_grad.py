@@ -43,6 +43,14 @@ from tpuflow3d.grid import HaloCtx
 # clamp 2.
 PALLAS_WARP_MAX_CLAMP = 2.0
 
+# Tricubic variant: (2*ceil(c)+4)^3 statically-shifted slabs weighted by
+# the Catmull-Rom kernel W(u-d) (support (-2,2), so 2mc+4 taps per axis
+# cover every u in [-mc, mc+1]). 512 terms at clamp 2 — ~2.4x the
+# trilinear term count, but the XLA alternative here is the 64-tap
+# *dynamic-gather* tricubic (warp.py:95-174), which streams coordinate
+# temps through HBM; the VPU select-interpolate stays one HBM pass.
+PALLAS_WARP_TRICUBIC_MAX_CLAMP = 2.0
+
 
 def _pick_by(h: int, w: int) -> int:
     # ~40 extended-block temps live in the unrolled gather body: cap the
@@ -77,10 +85,12 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(z0_ref, i1p_ref, flp_ref, i0p_ref, out_ref, i1s, fls, i0s, sems,
             *, bz: int, by: int, w: int, mc: int, dg: int, h: int,
-            nzb: int, nyb: int, z_sharded: bool):
+            nzb: int, nyb: int, z_sharded: bool, cubic: bool):
     k = pl.program_id(0)
     j = pl.program_id(1)
-    p = mc + 2  # i1 slab margin: deriv(1) + displacement(mc) + corner(1)
+    # i1 slab margin: deriv(1) + displacement(mc) + interp support (1
+    # trilinear cell / 2 cubic outer tap).
+    p = mc + 3 if cubic else mc + 2
 
     # DMA windows start at j*by (8-row aligned) in the y-padded arrays and
     # span the scratch's (8/128-aligned, slack-padded) extent; see
@@ -138,20 +148,33 @@ def _kernel(z0_ref, i1p_ref, flp_ref, i0p_ref, out_ref, i1s, fls, i0s, sems,
     def tent(u, dv):
         return jnp.maximum(0.0, 1.0 - jnp.abs(u - dv))
 
-    offs = list(range(-mc, mc + 2))
-    cys = [tent(uy, float(dy)) for dy in offs]
-    cxs = [tent(ux, float(dx)) for dx in offs]
+    def catrom(u, dv):
+        # Catmull-Rom kernel W(t), t = u - dv: the per-tap weight of the
+        # separable tricubic (matches warp._cubic_weights exactly — W(f+1),
+        # W(f), W(f-1), W(f-2) are that function's four polynomials).
+        t = jnp.abs(u - dv)
+        w1 = (1.5 * t - 2.5) * t * t + 1.0            # t <= 1
+        w2 = ((-0.5 * t + 2.5) * t - 4.0) * t + 2.0   # 1 < t < 2
+        return jnp.where(t <= 1.0, w1,
+                         jnp.where(t < 2.0, w2, 0.0))
+
+    coeff = catrom if cubic else tent
+    offs = (list(range(-mc - 1, mc + 3)) if cubic
+            else list(range(-mc, mc + 2)))
+    cys = [coeff(uy, float(dy)) for dy in offs]
+    cxs = [coeff(ux, float(dx)) for dx in offs]
 
     # Accumulate the select-interpolate as a loop over dz (a rolled loop so
     # Mosaic reuses VMEM temporaries — a fully unrolled (2mc+2)^3 body
     # overflows scoped VMEM) with the y/x offsets unrolled statically:
     # Mosaic only supports *dynamic* offsets on the major (non-tiled) dim,
     # while static unaligned sublane/lane slices are legal.
-    nterms = 2 * mc + 2
+    nterms = len(offs)
+    off0 = offs[0]
 
     def z_body(dzi, acc):
-        dz = dzi - mc
-        cz = tent(uz, dz.astype(fz32))
+        dz = dzi + off0
+        cz = coeff(uz, dz.astype(fz32))
         slab_z = i1s[pl.ds(p - 1 + dz, bz + 2)]  # (bz+2, SY1, LX1)
         for yi, dy in enumerate(offs):
             czy = cz * cys[yi]
@@ -213,18 +236,18 @@ def _rep_pad(x, lo: int, hi: int, axis: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("dims", "mc", "d_global", "z_sharded",
-                                    "interpret"))
+                                    "cubic", "interpret"))
 def _warp_grad_call(i1p, flp, i0p, z0, dims, mc: int, d_global: int,
-                    z_sharded: bool, interpret: bool):
+                    z_sharded: bool, cubic: bool, interpret: bool):
     d, h, w, bz, by = dims
-    p = mc + 2
+    p = mc + 3 if cubic else mc + 2
     nzb, nyb = d // bz, pl.cdiv(h, by)
     sy1 = _round_up(by + 2 * p, 8)
     sys_ = _round_up(by + 2, 8)
 
     kernel = functools.partial(
         _kernel, bz=bz, by=by, w=w, mc=mc, dg=d_global, h=h, nzb=nzb,
-        nyb=nyb, z_sharded=z_sharded)
+        nyb=nyb, z_sharded=z_sharded, cubic=cubic)
     out = pl.pallas_call(
         kernel,
         grid=(nzb, nyb),
@@ -249,9 +272,12 @@ def _warp_grad_call(i1p, flp, i0p, z0, dims, mc: int, d_global: int,
 
 
 def warp_grad_pallas(i1, flow, i0, ctx: HaloCtx = HaloCtx(),
-                     max_disp: float = 2.0, interpret: bool = False):
+                     max_disp: float = 2.0, interp: str = "trilinear",
+                     interpret: bool = False):
     """Fused warp + derivatives. i1/i0 (D,H,W) local slabs, flow (3,D,H,W)
     with |components| <= max_disp. Returns (g (3,D,H,W), it (D,H,W)).
+    ``interp``: 'trilinear' (tent select-interpolate) or 'tricubic'
+    (Catmull-Rom select-interpolate — the accuracy-gate config's sampler).
 
     Padding layout (DMA tiling alignment): each array is edge-replicate
     padded with its logical margin on the lo side of y/x and with margin +
@@ -259,8 +285,9 @@ def warp_grad_pallas(i1, flow, i0, ctx: HaloCtx = HaloCtx(),
     8-row-aligned offset and spans an (8, 128)-aligned extent.
     """
     d, h, w = i1.shape
+    cubic = interp == "tricubic"
     mc = max(1, int(math.ceil(max_disp)))
-    p = mc + 2
+    p = mc + 3 if cubic else mc + 2
     bz = _pick_bz(d)
     by = _pick_by(h, w)
     nyb = -(-h // by)  # cdiv: partial last block when H % BY != 0
@@ -280,4 +307,4 @@ def warp_grad_pallas(i1, flow, i0, ctx: HaloCtx = HaloCtx(),
     i0p = prep(i0, 1, 1, sys_)
     return _warp_grad_call(i1p, flp, i0p, ctx.z0(d),
                            (d, h, w, bz, by), mc, ctx.d_global(d),
-                           ctx.n_shards > 1, interpret)
+                           ctx.n_shards > 1, cubic, interpret)

@@ -145,11 +145,6 @@ class FlowParams:
                                  "residual-slot width per inner iteration)")
             if not (0.0 < self.mg_omega < 2.0):
                 raise ValueError("mg_omega must be in (0, 2)")
-            if self.gamma > 0.0:
-                raise ValueError("solver='multigrid' does not support the "
-                                 "gradient-constancy mode yet (its residual "
-                                 "needs the general-SPD diagonal); use "
-                                 "solver='sor' with gamma")
 
     # ---- derived quantities (all static) ----
 

@@ -238,12 +238,15 @@ def _ph_fused_warp_iter(i0s, i1s, fls, carry, z0, kbase, dg: int,
     # pack/unpack round-trip per chunk visit, a bad trade on a streamed
     # slab that is visited once).
     from tpuflow3d.pallas.warp_grad import (PALLAS_WARP_MAX_CLAMP,
+                                            PALLAS_WARP_TRICUBIC_MAX_CLAMP,
                                             warp_grad_pallas)
     gc = None
-    if (pal and p.deriv_order == 2 and p.interp == "trilinear"
-            and p.gamma == 0.0
-            and 0.0 < p.flow_clamp <= PALLAS_WARP_MAX_CLAMP):
+    _max_clamp = (PALLAS_WARP_TRICUBIC_MAX_CLAMP if p.interp == "tricubic"
+                  else PALLAS_WARP_MAX_CLAMP)
+    if (pal and p.deriv_order == 2 and p.gamma == 0.0
+            and 0.0 < p.flow_clamp <= _max_clamp):
         g, it = warp_grad_pallas(i1s, fls, i0s, ctx, max_disp=p.flow_clamp,
+                                 interp=p.interp,
                                  interpret=pallas_interpret())
     else:
         i1w = warp_volume(i1s, fls, ctx, max_disp=p.flow_clamp,

@@ -38,15 +38,18 @@ def normalize_pair(i0, i1, ctx: HaloCtx):
 
 def _use_fused_warp(p: FlowParams) -> bool:
     from tpuflow3d.backend import use_pallas
-    from tpuflow3d.pallas.warp_grad import PALLAS_WARP_MAX_CLAMP
+    from tpuflow3d.pallas.warp_grad import (PALLAS_WARP_MAX_CLAMP,
+                                            PALLAS_WARP_TRICUBIC_MAX_CLAMP)
     # The fused kernel computes 2-point derivatives in-VMEM and samples
-    # trilinearly; 4th-order stencils and tricubic warps take the XLA
-    # warp + derivative path.
+    # trilinearly (tent select-interpolate) or tricubically (Catmull-Rom
+    # select-interpolate — serves the accuracy-gate config); 4th-order
+    # stencils take the XLA warp + derivative path.
     # The fused kernel never materializes the warped volume, which the
     # gradient-constancy terms need — gamma > 0 takes the XLA path too.
-    return (use_pallas(p) and p.deriv_order == 2
-            and p.interp == "trilinear" and p.gamma == 0.0
-            and 0.0 < p.flow_clamp <= PALLAS_WARP_MAX_CLAMP)
+    max_clamp = (PALLAS_WARP_TRICUBIC_MAX_CLAMP if p.interp == "tricubic"
+                 else PALLAS_WARP_MAX_CLAMP)
+    return (use_pallas(p) and p.deriv_order == 2 and p.gamma == 0.0
+            and 0.0 < p.flow_clamp <= max_clamp)
 
 
 def warp_iteration(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx, parity,
@@ -58,7 +61,7 @@ def warp_iteration(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx, parity,
     gc = None
     if _use_fused_warp(p):
         g, it = warp_grad_pallas(i1l, flow, i0l, ctx,
-                                 max_disp=p.flow_clamp,
+                                 max_disp=p.flow_clamp, interp=p.interp,
                                  interpret=pallas_interpret())
     else:
         i1w = warp_volume(i1l, flow, ctx, max_disp=p.flow_clamp,

@@ -56,6 +56,12 @@ class SolveTerms(NamedTuple):
                              # gradient-constancy term is active (gamma>0),
                              # where A is no longer rank-1-plus-identity
                              # and Sherman-Morrison does not apply
+    d6: jax.Array = None     # (6, D, H, W) data-matrix entries D =
+                             # psi_d g g^T + psi_g sum_a h_a h_a^T (no sw
+                             # on the diagonal) — gamma > 0 only; consumed
+                             # by the multigrid hierarchy (mgsolver
+                             # Galerkin-averages these as a quadratic
+                             # form); DCE'd when the solver is plain SOR
 
 
 def _psi_deriv(q2: jax.Array, penalizer: str, eps: float) -> jax.Array:
@@ -197,6 +203,7 @@ def compute_terms(g: jax.Array, it: jax.Array, flow: jax.Array,
     smt = psi_d * sw_inv / (sw + q)
 
     ainv = None
+    d6 = None
     if gc is not None:
         # Gradient constancy (Brox et al. 2004): one robust penalizer over
         # the summed per-axis derivative residuals r_a = gc_it[a] +
@@ -207,12 +214,13 @@ def compute_terms(g: jax.Array, it: jax.Array, flow: jax.Array,
             jnp.sum(r_g * r_g, axis=0), p.penalizer_grad, p.eps_grad)
         c = c - jnp.einsum("adhw,acdhw->cdhw", psi_g[None] * gc_it, gc_g)
         # Full symmetric A = sw*I + psi_d g g^T + psi_g sum_a h_a h_a^T.
-        def a_entry(i, j):
-            e = (psi_d * g[i] * g[j]
-                 + psi_g * jnp.sum(gc_g[:, i] * gc_g[:, j], axis=0))
-            return e + sw if i == j else e
-        ainv = _sym3_inverse(a_entry(0, 0), a_entry(0, 1), a_entry(0, 2),
-                             a_entry(1, 1), a_entry(1, 2), a_entry(2, 2))
+        def d_entry(i, j):
+            return (psi_d * g[i] * g[j]
+                    + psi_g * jnp.sum(gc_g[:, i] * gc_g[:, j], axis=0))
+        d6 = jnp.stack([d_entry(0, 0), d_entry(0, 1), d_entry(0, 2),
+                        d_entry(1, 1), d_entry(1, 2), d_entry(2, 2)])
+        ainv = _sym3_inverse(d6[0] + sw, d6[1], d6[2],
+                             d6[3] + sw, d6[4], d6[5] + sw)
 
     if p.terms_dtype != str(dtype):
         # Storage-only downcast of the sweep constants (SURVEY.md §10:
@@ -223,7 +231,7 @@ def compute_terms(g: jax.Array, it: jax.Array, flow: jax.Array,
     else:
         g_store = g
     return SolveTerms(c=c, g=g_store, w=w, sw_inv=sw_inv, smt=smt,
-                      psi_s=psi_s, psi_d=psi_d, ainv=ainv)
+                      psi_s=psi_s, psi_d=psi_d, ainv=ainv, d6=d6)
 
 
 def _du_star(du: jax.Array, t: SolveTerms, ctx: HaloCtx) -> jax.Array:

@@ -76,3 +76,52 @@ def test_pipeline_fused_warp_matches_xla():
     ref = np.asarray(compute_flow(i0, i1, p.replace(backend="xla")))
     got = np.asarray(compute_flow(i0, i1, p.replace(backend="pallas")))
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(8, 16, 16), (6, 24, 10), (4, 89, 12)])
+@pytest.mark.parametrize("clamp", [1.0, 2.0])
+def test_warp_grad_tricubic_matches_oracle(shape, clamp):
+    """Catmull-Rom select-interpolate kernel vs the XLA tricubic gather +
+    derivatives oracle (the accuracy-gate config's sampler)."""
+    i0, i1, flow = _case(shape, clamp=clamp)
+    ctx = HaloCtx()
+    i1w = warp_volume(i1, flow, ctx, interp="tricubic")
+    g_ref, it_ref = derivatives(i0, i1w, ctx)
+    g, it = warp_grad_pallas(i1, flow, i0, ctx, max_disp=clamp,
+                             interp="tricubic", interpret=True)
+    np.testing.assert_allclose(np.asarray(it), np.asarray(it_ref), atol=1e-5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_warp_grad_tricubic_integer_shift():
+    """Catmull-Rom is interpolating: integer displacements reproduce the
+    shifted volume exactly (weights collapse to a one-hot)."""
+    shape = (8, 8, 8)
+    rng = np.random.default_rng(3)
+    i1 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    i0 = jnp.zeros(shape, jnp.float32)
+    flow = jnp.zeros((3, *shape), jnp.float32).at[2].set(2.0)
+    ctx = HaloCtx()
+    _, it = warp_grad_pallas(i1, flow, i0, ctx, max_disp=2.0,
+                             interp="tricubic", interpret=True)
+    got = np.asarray(it)
+    vn = np.asarray(i1)
+    np.testing.assert_allclose(got[:, :, :6], vn[:, :, 2:], atol=1e-5)
+
+
+def test_pipeline_fused_tricubic_matches_xla():
+    """Full pipeline with the Pallas fused tricubic warp == XLA pipeline
+    (same clamp, interp=tricubic — the gate config's sampler)."""
+    from tpuflow3d import FlowParams, compute_flow
+    from tpuflow3d import synthetic as syn
+
+    shape = (16, 16, 16)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 0.5)),
+                              seed=1)
+    p = FlowParams(levels=2, warps=2, inner_iterations=2, sweeps=5,
+                   alpha=0.05, flow_clamp=2.0, interp="tricubic")
+    ref = np.asarray(compute_flow(i0, i1, p.replace(backend="xla")))
+    got = np.asarray(compute_flow(i0, i1, p.replace(backend="pallas")))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)

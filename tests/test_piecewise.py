@@ -217,6 +217,22 @@ def test_fused_stream_tricubic_matches_per_halfsweep():
     np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
 
 
+def test_fused_stream_tricubic_pallas_matches_xla():
+    """interp='tricubic' streamed with the Pallas Catmull-Rom
+    select-interpolate kernel engaged (backend='pallas', interpret on CPU)
+    == the XLA-backend streamed solve."""
+    shape = (18, 16, 16)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.4, -0.3, 0.8)),
+                              seed=25)
+    base = dict(levels=2, warps=2, inner_iterations=1, sweeps=3,
+                interp="tricubic", flow_clamp=2.0)
+    a = compute_flow_piecewise(i0, i1, FlowParams(backend="pallas", **base),
+                               chunk_z=4, fuse=True)
+    b = compute_flow_piecewise(i0, i1, FlowParams(backend="xla", **base),
+                               chunk_z=4, fuse=True)
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
 def test_piecewise_tricubic_matches_incore():
     shape = (18, 14, 14)
     i0, i1, _ = syn.make_pair(shape, syn.translation((0.4, -0.2, 0.6)),

@@ -260,3 +260,39 @@ def test_sharded_tricubic_matches_unsharded():
     ref = np.asarray(compute_flow(i0, i1, p_sharded))
     got = np.asarray(compute_flow_sharded(i0, i1, p, mesh=_mesh(n)))
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_pallas_warp_grad_tricubic_sharded_interpret():
+    """Sharded Catmull-Rom select-interpolate kernel == unsharded run
+    (halo planes via ppermute; margin p = mc + 3 for the cubic support)."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpuflow3d.pallas.warp_grad import warp_grad_pallas
+
+    n = 4
+    mesh = _mesh(n)
+    shape = (16, 16, 16)
+    rng = np.random.default_rng(8)
+    i0 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    i1 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    flow = jnp.asarray(
+        np.clip(rng.normal(size=(3, *shape)), -2, 2).astype(np.float32))
+
+    def run(i1, flow, i0, ctx):
+        return warp_grad_pallas(i1, flow, i0, ctx, max_disp=2.0,
+                                interp="tricubic", interpret=True)
+
+    ref_g, ref_it = run(i1, flow, i0, HaloCtx())
+    v3 = P("z", None, None)
+    f4 = P(None, "z", None, None)
+    got_g, got_it = _shardmap(
+        lambda i1, fl, i0: run(i1, fl, i0,
+                               HaloCtx(axis_name="z", n_shards=n)),
+        mesh, (v3, f4, v3), (f4, v3))(i1, flow, i0)
+    # The shard frame shifts u by integer offsets, so the piecewise cubic
+    # weight polynomials evaluate with different rounding: ulp-level
+    # (observed 1/4096 elements at 1.04e-6), not a halo signal.
+    np.testing.assert_allclose(np.asarray(got_it), np.asarray(ref_it),
+                               atol=3e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               atol=3e-6, rtol=1e-5)
