@@ -184,11 +184,15 @@ def main():
                    "size": size, "epe_mean": round(mean, 6),
                    "epe_max": round(mx, 4), "textured_voxels": n,
                    "seconds": round(time.perf_counter() - t0, 1),
+                   "dispatch": ("warp_stepped" if args.warp_stepped
+                                else "level_stepped" if args.stepped
+                                else "one_jit"),
                    "params": {k: getattr(p, k) for k in
                               ("levels", "scale_factor", "warps",
                                "inner_iterations", "sweeps", "alpha",
                                "eps_data", "eps_smooth", "deriv_order",
-                               "residual_tol")}}
+                               "residual_tol", "interp", "solver",
+                               "backend", "flow_clamp")}}
             f.write(json.dumps(row) + "\n")
             f.flush()
             print(json.dumps(row), flush=True)

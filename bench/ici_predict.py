@@ -1,0 +1,193 @@
+"""ICI weak-scaling prediction from MEASURED on-chip sweep times
+(VERDICT r3 missing #2: the claim that real ICI closes the virtual-CPU
+weak-scaling gap rested on a pure byte model; its testable half — how
+per-half-sweep time scales with per-device slab depth on the attached
+chip — was unmeasured).
+
+Measures the production packed-SOR half-sweep at per_dev_z in {16, 32,
+64, 128} (fixed H=W, K chained sweeps in one program), then combines the
+measured rates with the halo byte model to emit a predicted 2-8-chip
+weak-scaling curve.
+
+Model and stated assumptions (all recorded in the output):
+- per half-sweep, each interior chip ppermutes 1 Z-plane of the
+  other-color packed du in each direction: bytes = 2 * 3 * H * (W/2) * 4.
+  psi_s halos move once per nonlinearity update (amortized ~1/(2*sweeps),
+  ignored). Residual psum: one scalar latency per sweep (folded into
+  --coll-latency-us).
+- comm does NOT overlap compute (conservative; XLA can overlap ppermute
+  with interior compute).
+- ICI effective bandwidth per neighbor exchange: --ici-gbps (default 45
+  GB/s, a conservative public per-link v5e figure); per-collective
+  latency --coll-latency-us (default 2).
+- the compute time per half-sweep is taken three ways: (a) measured on
+  the attached chip (timing model may be 'emulated' — recorded), (b) the
+  v5e HBM-spec byte model 36 B/voxel / 819 GB/s, (c) the byte model
+  derated by --sor-fraction (the bench's measured HBM fraction).
+  efficiency_N = t_comp / (t_comp + t_halo) for interior chips.
+
+Usage: python bench/ici_predict.py [--hw 256] [--out SCALING_r04.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
+
+import numpy as np
+
+
+def measure_halfsweep(jnp, per_dev_z: int, hw: int, K: int = 10):
+    """Best per-half-sweep seconds for a (per_dev_z, hw, hw) slab, packed
+    kernel, K chained full sweeps in one program (bench.py footing)."""
+    import jax
+    from jax import lax
+
+    from tpuflow3d.derivatives import derivatives
+    from tpuflow3d.grid import HaloCtx
+    from tpuflow3d.pallas.sor_packed import pack_color, sor_halfsweep_packed
+    from tpuflow3d.params import FlowParams
+    from tpuflow3d.solver import compute_terms
+    from tpuflow3d.warp import warp_volume
+
+    p = FlowParams(alpha=0.05)
+    shape = (per_dev_z, hw, hw)
+    rng = np.random.default_rng(0)
+    i0 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    shift = jnp.zeros((3, *shape), jnp.float32).at[2].set(0.7)
+    i1 = warp_volume(i0, -shift)
+    g, it = derivatives(i0, i1)
+    flow = jnp.zeros((3, *shape), jnp.float32)
+    du = jnp.asarray(rng.normal(size=(3, *shape)).astype(np.float32)) * .05
+    t = compute_terms(g, it, flow, du, p)
+    ctx = HaloCtx()
+    d = per_dev_z
+
+    @jax.jit
+    def pack_all(du, t):
+        pk = lambda a, col: pack_color(a, col, 0)
+        return ([pk(du, c) for c in (0, 1)], [pk(t.c, c) for c in (0, 1)],
+                [pk(t.g, c) for c in (0, 1)],
+                [pk(t.psi_s, c) for c in (0, 1)],
+                [pk(t.psi_d, c) for c in (0, 1)])
+
+    du_pk, c_pk, g_pk, ps_pk, pd_pk = pack_all(du, t)
+    import jax as _j
+    _j.block_until_ready((du_pk, c_pk))
+    ps_halos = [ctx.z_halo_planes(ps_pk[c]) for c in (0, 1)]
+
+    @jax.jit
+    def loop(dp, c_pk, g_pk, ps_pk, pd_pk, ps_halos):
+        def body(i, dp):
+            d0, d1 = dp
+            lo, hi = ctx.z_halo_planes(d1)
+            d0 = sor_halfsweep_packed(
+                d0, d1, c_pk[0], g_pk[0], ps_pk[0], ps_pk[1], pd_pk[0],
+                lo, hi, ps_halos[1][0], ps_halos[1][1], 0,
+                p.alpha, p.omega, 0, d)
+            lo, hi = ctx.z_halo_planes(d0)
+            d1 = sor_halfsweep_packed(
+                d1, d0, c_pk[1], g_pk[1], ps_pk[1], ps_pk[0], pd_pk[1],
+                lo, hi, ps_halos[0][0], ps_halos[0][1], 0,
+                p.alpha, p.omega, 1, d)
+            return (d0, d1)
+        return lax.fori_loop(0, K, body, dp)
+
+    args_ = (c_pk, g_pk, ps_pk, pd_pk, ps_halos)
+    o = loop(tuple(du_pk), *args_)
+    _j.block_until_ready(o)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = loop(o, *args_)
+        _j.block_until_ready(o)
+        best = min(best, time.perf_counter() - t0)
+    return best / (K * 2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hw", type=int, default=256)
+    ap.add_argument("--per-dev-z", type=int, nargs="+",
+                    default=[16, 32, 64, 128])
+    ap.add_argument("--ici-gbps", type=float, default=45.0)
+    ap.add_argument("--coll-latency-us", type=float, default=2.0)
+    ap.add_argument("--sor-fraction", type=float, default=0.787,
+                    help="measured packed-SOR HBM fraction (bench.py)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpuflow3d.utils import roofline
+
+    model, bw, ratio = roofline.probe_timing_model()
+    sweep_bytes = roofline.SweepByteModel(packed=True).per_half_sweep
+    v5e_bw = 819e9
+    hw = args.hw
+
+    measured = []
+    for z in args.per_dev_z:
+        dt = measure_halfsweep(jnp, z, hw)
+        vox = z * hw * hw
+        measured.append({
+            "per_dev_z": z, "halfsweep_ms": round(dt * 1e3, 4),
+            "gvox_per_s": round(vox / dt / 1e9, 3),
+            "implied_gbps": round(vox * sweep_bytes / dt / 1e9, 1)})
+        print(json.dumps(measured[-1]), flush=True)
+
+    halo_bytes = 2 * 3 * hw * (hw // 2) * 4  # 2 dirs x packed du plane
+    t_lat = args.coll_latency_us * 1e-6
+    ici = args.ici_gbps * 1e9
+
+    def curve(t_comp_fn):
+        rows = []
+        for n in (1, 2, 4, 8):
+            per = []
+            for m in measured:
+                t_comp = t_comp_fn(m)
+                t_halo = 0.0 if n == 1 else halo_bytes / ici + t_lat
+                per.append({"per_dev_z": m["per_dev_z"],
+                            "efficiency": round(
+                                t_comp / (t_comp + t_halo), 4)})
+            rows.append({"devices": n, "per_config": per})
+        return rows
+
+    v5e_t = lambda m: m["per_dev_z"] * hw * hw * sweep_bytes / v5e_bw
+    frac_t = lambda m: v5e_t(m) / max(args.sor_fraction, 1e-6)
+    meas_t = lambda m: m["halfsweep_ms"] * 1e-3
+
+    rec = {
+        "kind": "predicted_ici",
+        "hw": hw,
+        "timing_model": model,
+        "work_scale_ratio": round(ratio, 2),
+        "measured_halfsweeps": measured,
+        "halo_bytes_per_halfsweep": halo_bytes,
+        "assumptions": {
+            "ici_gbps": args.ici_gbps,
+            "coll_latency_us": args.coll_latency_us,
+            "sor_fraction": args.sor_fraction,
+            "overlap": "none (conservative)",
+            "notes": "interior-chip halo = 1 packed du plane each "
+                     "direction per half-sweep; psi_s halos amortized "
+                     "out; v5e spec HBM 819 GB/s"},
+        "predicted_weak_scaling": {
+            "from_measured_on_chip": curve(meas_t),
+            "from_v5e_byte_model": curve(v5e_t),
+            "from_v5e_derated_by_measured_fraction": curve(frac_t)},
+    }
+    line = json.dumps(rec)
+    print(line, flush=True)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,21 +45,33 @@ def main():
                               n_blobs=20, seed=0)
     i0 = shard_volume(np.asarray(i0), mesh)
     i1 = shard_volume(np.asarray(i1), mesh)
-    fn = _sharded_fn(p, mesh, diagnostics=False)
-    flow = fn(i0, i1)
-    flow.block_until_ready()
-    t0 = time.perf_counter()
-    reps = 2
-    for _ in range(reps):
+    reps = int(os.environ.get("TPUFLOW_MP_REPS", "2"))
+    ablate = os.environ.get("TPUFLOW_MP_ABLATE", "0") == "1"
+
+    def timed(comm_ablate):
+        fn = _sharded_fn(p, mesh, False, comm_ablate)
         flow = fn(i0, i1)
         flow.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            flow = fn(i0, i1)
+            flow.block_until_ready()
+        return (time.perf_counter() - t0) / reps
+
+    dt = timed(False)
+    # Comm-ablated twin (collectives swapped for local fallbacks --
+    # numerically wrong across process boundaries by construction, timing
+    # diagnostic only): the gloo analog of scaling.py --ablate-comm.
+    dt_nc = timed(True) if ablate else None
     if rank == 0:
         vps = float(np.prod(shape)) / dt
-        print(json.dumps({
-            "devices": n, "processes": nproc, "backend": "gloo",
-            "shape": list(shape), "seconds": round(dt, 4),
-            "voxels_per_s": round(vps, 1)}), flush=True)
+        row = {"devices": n, "processes": nproc, "backend": "gloo",
+               "shape": list(shape), "seconds": round(dt, 4),
+               "voxels_per_s": round(vps, 1), "reps": reps}
+        if dt_nc is not None:
+            row["seconds_no_comm"] = round(dt_nc, 4)
+            row["comm_share"] = round(max(0.0, 1.0 - dt_nc / dt), 4)
+        print(json.dumps(row), flush=True)
     return 0
 
 

@@ -117,7 +117,7 @@ def check_packed_sor(jnp, out):
     return row["ok"]
 
 
-def check_warp_grad_sharded(jnp, out):
+def check_warp_grad_sharded(jnp, out, interp="trilinear"):
     from tpuflow3d.derivatives import derivatives
     from tpuflow3d.grid import HaloCtx, replicate_pad
     from tpuflow3d.pallas.warp_grad import warp_grad_pallas
@@ -157,20 +157,23 @@ def check_warp_grad_sharded(jnp, out):
 
     ctx = ShardSimCtx()
     sctx = HaloCtx()
-    i1w = warp_volume(i1g, flowg, sctx)
+    i1w = warp_volume(i1g, flowg, sctx, interp=interp)
     g_ref, it_ref = derivatives(i0g, i1w, sctx)
 
     t0 = time.perf_counter()
     g, it = warp_grad_pallas(i1g[z0:z0 + d], flowg[:, z0:z0 + d],
                              i0g[z0:z0 + d], ctx, max_disp=clamp,
-                             interpret=False)
+                             interp=interp, interpret=False)
     it.block_until_ready()
     dt = time.perf_counter() - t0
     err_it = float(jnp.max(jnp.abs(it - it_ref[z0:z0 + d])))
     err_g = float(jnp.max(jnp.abs(g - g_ref[:, z0:z0 + d])))
     err = max(err_it, err_g)
-    row = {"check": "warp_grad_sharded_compiled", "shape": [dg, h, w],
+    name = ("warp_grad_sharded_compiled" if interp == "trilinear"
+            else "warp_grad_tricubic_sharded_compiled")
+    row = {"check": name, "shape": [dg, h, w],
            "slab": [z0, z0 + d], "z0": z0, "dg": dg, "clamp": clamp,
+           "interp": interp,
            "max_abs_err": err, "tol": 1e-5, "ok": err < 1e-5,
            "first_call_s": round(dt, 2)}
     out(row)
@@ -199,6 +202,7 @@ def main():
 
     ok = check_packed_sor(jnp, out)
     ok = check_warp_grad_sharded(jnp, out) and ok
+    ok = check_warp_grad_sharded(jnp, out, interp="tricubic") and ok
     if f:
         f.close()
     return 0 if ok else 1

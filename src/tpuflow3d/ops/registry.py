@@ -81,20 +81,29 @@ _register(OpSpec(
         "(reference behavior) or tricubic Catmull-Rom (params.interp; "
         "breaks the trilinear interpolation-bias EPE floor)."))
 
-def _warp_grad(i1, flow, i0, ctx, max_disp):
+def _warp_grad(i1, flow, i0, ctx, max_disp, interp="trilinear"):
     from tpuflow3d.pallas.warp_grad import warp_grad_pallas
-    return warp_grad_pallas(i1, flow, i0, ctx, max_disp=max_disp)
+    return warp_grad_pallas(i1, flow, i0, ctx, max_disp=max_disp,
+                            interp=interp)
 
 
 _register(OpSpec(
     name="warp_derivatives",
     fn=_warp_grad,
-    z_halo="ceil(max |flow_z|) + 1 planes",
+    z_halo="ceil(max |flow_z|) + 1 planes (+1 tricubic)",
     bytes_per_voxel=4 + 12 + 4 + 16,  # read i1+flow+i0, write g(3)+It
     reference="registration + derivative kernels (one fused HBM pass here; "
               "BASELINE.json 'warp+derivative fusion into one Pallas pass')",
-    doc="Fused backward trilinear warp + spatiotemporal derivative stencils "
-        "(the production hot path; bench.py sources its byte model here)."))
+    doc="Fused backward warp + spatiotemporal derivative stencils in one "
+        "HBM pass (the production hot path; bench.py sources its byte "
+        "model here). interp='tricubic' swaps tent select-interpolate "
+        "weights for Catmull-Rom: identical HBM traffic, ~(2c+4)^3 vs "
+        "(2c+2)^3 VPU terms (512 vs 216 at clamp 2) — VPU-compute-bound "
+        "either way.",
+    byte_variants={"trilinear": float(4 + 12 + 4 + 16),
+                   # Same streaming traffic; the tricubic cost is VPU
+                   # terms, not bytes (see doc).
+                   "tricubic": float(4 + 12 + 4 + 16)}))
 
 _register(OpSpec(
     name="derivatives",

@@ -52,10 +52,16 @@ PALLAS_WARP_MAX_CLAMP = 2.0
 PALLAS_WARP_TRICUBIC_MAX_CLAMP = 2.0
 
 
-def _pick_by(h: int, w: int) -> int:
+def _pick_by(h: int, w: int, cubic: bool = False) -> int:
     # ~40 extended-block temps live in the unrolled gather body: cap the
-    # y-block so they fit scoped VMEM at any width.
-    cap = 32 if w <= 256 else (16 if w <= 768 else 8)
+    # y-block so they fit scoped VMEM at any width. The cubic variant
+    # keeps ~2x more live coefficient fields (2mc+4 per axis vs 2mc+2),
+    # and at (BY=32, W=256) its VMEM stack measured 16.97M vs the 16M
+    # scoped limit — halve the cap (the 256^3 gate config's shape).
+    if cubic:
+        cap = 16 if w <= 256 else 8
+    else:
+        cap = 32 if w <= 256 else (16 if w <= 768 else 8)
     cands = [b for b in range(8, h + 1, 8) if h % b == 0 and b <= cap]
     if cands:
         return max(cands)
@@ -289,7 +295,7 @@ def warp_grad_pallas(i1, flow, i0, ctx: HaloCtx = HaloCtx(),
     mc = max(1, int(math.ceil(max_disp)))
     p = mc + 3 if cubic else mc + 2
     bz = _pick_bz(d)
-    by = _pick_by(h, w)
+    by = _pick_by(h, w, cubic)
     nyb = -(-h // by)  # cdiv: partial last block when H % BY != 0
     sy1 = _round_up(by + 2 * p, 8)
     sys_ = _round_up(by + 2, 8)

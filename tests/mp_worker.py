@@ -61,8 +61,11 @@ def main():
     mesh = dist.global_z_mesh()
     args = (os.path.join(workdir, "a.raw"), os.path.join(workdir, "b.raw"),
             meta, p, mesh)
-    if mode == "die" and ckdir is not None:
-        if pid != 0:
+    if mode in ("die", "die0") and ckdir is not None:
+        # "die" kills rank 1 (a worker); "die0" kills rank 0 — the
+        # COORDINATOR process, so survivors lose both a collective peer
+        # and the distributed-service endpoint at once.
+        if (pid != 0) == (mode == "die"):
             _arm_fault_injection(ckdir)
         flow = dist.compute_flow_distributed(
             *args, out_prefix=os.path.join(workdir, "mpflow_"),

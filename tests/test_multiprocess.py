@@ -213,3 +213,59 @@ def test_fault_detection_and_elastic_resume(tmp_path):
     u = vio.read_raw(str(tmp_path / "mpflow_u.raw"),
                      vio.VolumeMeta(shape, "float32"))
     np.testing.assert_allclose(u, ref[2], atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_fault_rank0_coordinator_killed(tmp_path):
+    """Complementary fault case (r4): rank 0 — the COORDINATOR — is killed
+    mid-solve. The failure contract (ARCHITECTURE.md "Failure detection")
+    is the same as a worker death plus loss of the distributed-service
+    endpoint: the survivor's next collective must fail with BOUNDED
+    latency (asserted below), never hang; recovery = relaunch + resume."""
+    import time
+
+    shape = (24, 16, 16)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 0.5)),
+                              seed=11)
+    vio.write_raw(str(tmp_path / "a.raw"), i0)
+    vio.write_raw(str(tmp_path / "b.raw"), i1)
+    ckdir = str(tmp_path / "ck")
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # 1 local CPU device per process
+    env["MP_WORKER_LEVELS"] = "3"
+    env["MP_WORKER_SWEEPS"] = "40"
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(r), "2", "23773", str(tmp_path),
+         ckdir, "die0"], env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for r in range(2)]
+    out0 = procs[0].communicate(timeout=300)[0].decode()
+    assert procs[0].returncode == 17, out0  # coordinator killed as armed
+    # Detection latency: from the coordinator's death to the survivor's
+    # exit. Bounded (the contract), and must be an ERROR, not success.
+    t0 = time.monotonic()
+    out1 = procs[1].communicate(timeout=240)[0].decode()
+    latency = time.monotonic() - t0
+    assert procs[1].returncode not in (0, None), out1
+    assert latency < 180.0, f"survivor detection took {latency:.0f}s"
+
+    from tpuflow3d import checkpoint as ckpt
+    state = ckpt.peek_level_checkpoint(ckdir)
+    assert state is not None  # the checkpoint survived the crash
+
+    # Elastic recovery: fresh 2-process launch, same checkpoint dir.
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(r), "2", "23774", str(tmp_path),
+         ckdir], env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for r in range(2)]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "ok" in out, out
+
+    pr = FlowParams(levels=3, warps=1, inner_iterations=1, sweeps=40,
+                    alpha=0.05)
+    ref = np.asarray(compute_flow_sharded(i0, i1, pr, make_z_mesh(2)))
+    u = vio.read_raw(str(tmp_path / "mpflow_u.raw"),
+                     vio.VolumeMeta(shape, "float32"))
+    np.testing.assert_allclose(u, ref[2], atol=1e-5, rtol=1e-4)
