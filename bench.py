@@ -202,7 +202,7 @@ def _kernel_fractions(shape, p, bw):
                du) / (K * 2)
     tg = None
     from tpuflow3d.ops import get_op
-    gc_bytes = get_op("solve").byte_variants["gc (gamma > 0, Pallas)"]
+    gc_bytes = get_op("solve").byte_variants["gc flat (gamma > 0, Pallas)"]
     implied["sor_gc"] = vox * gc_bytes / dt
     out["sor_gc_halfsweep_ms"] = round(dt * 1e3, 4)
     print(f"bench: SOR gc half-sweep {dt * 1e3:.3f} ms, "

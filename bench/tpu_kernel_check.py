@@ -117,6 +117,78 @@ def check_packed_sor(jnp, out):
     return row["ok"]
 
 
+def check_packed_gc(jnp, out):
+    """Packed gradient-constancy kernel (r4, pallas/sor_gc_packed.py)
+    compiled in the sharded configuration: middle slab, z0/dg bookkeeping,
+    halo planes from the global arrays, W >= 256."""
+    from tpuflow3d.derivatives import derivatives, grad_constancy_terms
+    from tpuflow3d.grid import HaloCtx
+    from tpuflow3d.pallas.sor_gc_packed import sor_halfsweep_gc_packed
+    from tpuflow3d.pallas.sor_packed import pack_color, unpack_colors
+    from tpuflow3d.params import FlowParams
+    from tpuflow3d.solver import compute_terms, parity_mask, sor_halfsweep
+    from tpuflow3d.warp import warp_volume
+
+    alpha, omega = 0.05, 1.8
+    dg, h, w = 24, 256, 256
+    z0, d = 8, 8
+    rng = np.random.default_rng(2)
+    shape = (dg, h, w)
+    i0 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    shift = jnp.zeros((3, *shape), jnp.float32).at[2].set(0.7)
+    i1 = warp_volume(i0, -shift)
+    g, it = derivatives(i0, i1)
+    gc = grad_constancy_terms(i0, i1, g=g)
+    p = FlowParams(alpha=alpha, gamma=1.5)
+    flow = jnp.asarray(rng.normal(size=(3, *shape)).astype(np.float32)) * 0.1
+    du = jnp.asarray(rng.normal(size=(3, *shape)).astype(np.float32)) * 0.05
+    t = compute_terms(g, it, flow, du, p, gc=gc)
+
+    ctx = HaloCtx()
+    parity = parity_mask(shape, ctx)
+    ref_red = sor_halfsweep(du, t, omega, parity, 0, ctx)
+    ref_full = sor_halfsweep(ref_red, t, omega, parity, 1, ctx)
+
+    sl = slice(z0, z0 + d)
+    pk = lambda x, color: pack_color(x, color, 0)
+
+    def plane(xp, z):
+        return xp[..., z:z + 1, :, :]
+
+    c0, c1 = pk(t.c, 0)[:, sl], pk(t.c, 1)[:, sl]
+    a0, a1 = pk(t.ainv, 0)[:, sl], pk(t.ainv, 1)[:, sl]
+    ps0g, ps1g = pk(t.psi_s, 0), pk(t.psi_s, 1)
+
+    du0 = pk(du, 0)[:, sl]
+    du1g = pk(du, 1)
+    t0 = time.perf_counter()
+    d0_new = sor_halfsweep_gc_packed(
+        du0, du1g[:, sl], c0, a0, ps0g[sl], ps1g[sl],
+        plane(du1g, z0 - 1), plane(du1g, z0 + d),
+        plane(ps1g, z0 - 1), plane(ps1g, z0 + d),
+        z0, alpha, omega, 0, dg, interpret=False)
+    d0_new.block_until_ready()
+    t_red = time.perf_counter() - t0
+
+    red_g = pk(ref_red, 0)
+    du1 = pk(du, 1)[:, sl]
+    d1_new = sor_halfsweep_gc_packed(
+        du1, d0_new, c1, a1, ps1g[sl], ps0g[sl],
+        plane(red_g, z0 - 1), plane(red_g, z0 + d),
+        plane(ps0g, z0 - 1), plane(ps0g, z0 + d),
+        z0, alpha, omega, 1, dg, interpret=False)
+
+    got = unpack_colors(d0_new, d1_new, z0)
+    ref = ref_full[:, sl]
+    err = float(jnp.max(jnp.abs(got - ref)))
+    row = {"check": "packed_gc_sharded_compiled", "shape": [dg, h, w],
+           "slab": [z0, z0 + d], "W": w, "z0": z0, "dg": dg,
+           "max_abs_err": err, "tol": 5e-5, "ok": err < 5e-5,
+           "first_call_s": round(t_red, 2)}
+    out(row)
+    return row["ok"]
+
+
 def check_warp_grad_sharded(jnp, out, interp="trilinear"):
     from tpuflow3d.derivatives import derivatives
     from tpuflow3d.grid import HaloCtx, replicate_pad
@@ -201,6 +273,7 @@ def main():
             f.flush()
 
     ok = check_packed_sor(jnp, out)
+    ok = check_packed_gc(jnp, out) and ok
     ok = check_warp_grad_sharded(jnp, out) and ok
     ok = check_warp_grad_sharded(jnp, out, interp="tricubic") and ok
     if f:

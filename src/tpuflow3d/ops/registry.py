@@ -146,11 +146,15 @@ _register(OpSpec(
     byte_variants={"packed (even W >= 256, Pallas)": _solve_bytes(True),
                    "flat (Pallas)": _solve_bytes(False),
                    "xla": 80.0,
-                   # Gradient-constancy (gamma > 0) general-SPD sweep:
-                   # du 12r+12w, c 12, ainv 24, psi_s 4 (pallas/sor_gc.py);
-                   # the XLA twin additionally streams the 6 materialized
-                   # weight volumes instead of recomputing from psi_s.
-                   "gc (gamma > 0, Pallas)": 64.0,
+                   # Gradient-constancy (gamma > 0) general-SPD sweeps:
+                   # packed (pallas/sor_gc_packed.py, production at even
+                   # W >= 256): active du 6r+6w, other du 6, c 6, ainv 12,
+                   # psi_s both colors 4 = 40 B/voxel; flat
+                   # (pallas/sor_gc.py): du 12r+12w, c 12, ainv 24,
+                   # psi_s 4 = 64 B. The XLA twin additionally streams the
+                   # 6 materialized weight volumes.
+                   "gc packed (gamma > 0, even W >= 256)": 40.0,
+                   "gc flat (gamma > 0, Pallas)": 64.0,
                    "gc xla": 88.0}))
 
 _register(OpSpec(

@@ -277,8 +277,9 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
     increment (du, dv, dw); optionally records per-sweep residual norms into
     ``residuals_slot`` (a (inner*sweeps,) array) when track_residuals.
     ``gc``: gradient-constancy terms, required iff p.gamma > 0 — that mode
-    sweeps with the general-SPD flat Pallas kernel (pallas/sor_gc.py) or
-    the XLA full-3x3 path; the packed layout stays gamma == 0."""
+    sweeps with the general-SPD Pallas kernels (packed layout
+    pallas/sor_gc_packed.py at even W, flat pallas/sor_gc.py otherwise)
+    or the XLA full-3x3 path."""
     du0 = jnp.zeros_like(flow)
     track = residuals_slot is not None
     n_global = 3.0 * ctx.d_global(it.shape[-3]) * it.shape[-2] * it.shape[-1]
@@ -294,9 +295,10 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
     # explodes on the relayouts, so coarse pyramid levels use the flat
     # kernel (dispatch is static per level). Interpret mode (CPU tests)
     # keeps packed enabled at any even W for coverage. Gradient-constancy
-    # mode sweeps with the flat general-SPD kernel (pallas/sor_gc.py);
-    # packing its 6 ainv volumes has not been worth the relayout.
-    packed = (pallas_sweeps and not gamma_mode
+    # mode packs (c, ainv, psi_s) and sweeps with the packed general-SPD
+    # kernel (pallas/sor_gc_packed.py, 40 vs 64 B/voxel per half-sweep);
+    # the flat gc kernel covers the odd-W/coarse-level regime.
+    packed = (pallas_sweeps
               and p.sweep_layout == "packed"
               and it.shape[-1] % 2 == 0
               and (interp or it.shape[-1] >= 256))
@@ -307,6 +309,9 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
             from tpuflow3d.pallas.sor_packed import (pack_color,
                                                      sor_halfsweep_packed,
                                                      unpack_colors)
+            if gamma_mode:
+                from tpuflow3d.pallas.sor_gc_packed import (
+                    sor_halfsweep_gc_packed)
         elif gamma_mode:
             from tpuflow3d.pallas.sor_gc import sor_halfsweep_gc_pallas
         else:
@@ -315,6 +320,20 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
     def one_sweep(du, t, ps_halos):
         """One full red+black sweep. ``du`` is the packed color pair under
         the packed layout, the full (3,D,H,W) increment otherwise."""
+        if packed and gamma_mode:
+            d0, d1 = du
+            (c_pk, ai_pk, ps_pk), ps_halos_pk = t, ps_halos
+            lo, hi = ctx.z_halo_planes(d1)
+            d0 = sor_halfsweep_gc_packed(
+                d0, d1, c_pk[0], ai_pk[0], ps_pk[0], ps_pk[1],
+                lo, hi, ps_halos_pk[1][0], ps_halos_pk[1][1], z0,
+                p.alpha, p.omega, 0, dg, interpret=interp)
+            lo, hi = ctx.z_halo_planes(d0)
+            d1 = sor_halfsweep_gc_packed(
+                d1, d0, c_pk[1], ai_pk[1], ps_pk[1], ps_pk[0],
+                lo, hi, ps_halos_pk[0][0], ps_halos_pk[0][1], z0,
+                p.alpha, p.omega, 1, dg, interpret=interp)
+            return (d0, d1)
         if packed:
             d0, d1 = du
             (c_pk, g_pk, ps_pk, pd_pk), ps_halos_pk = t, ps_halos
@@ -374,13 +393,16 @@ def solve_increment(g: jax.Array, it: jax.Array, flow: jax.Array,
         if packed:
             # Pack du + the sweep constants once per nonlinearity update
             # (exact lane permutation, amortized over p.sweeps sweeps).
+            # gc mode packs (c, ainv, psi_s); the rank-1 mode
+            # (c, g, psi_s, psi_d).
+            fields = ((t.c, t.ainv, t.psi_s) if gamma_mode
+                      else (t.c, t.g, t.psi_s, t.psi_d))
             terms = tuple(
-                tuple(pack_color(a, col, z0)
-                      for a in (t.c, t.g, t.psi_s, t.psi_d))
+                tuple(pack_color(a, col, z0) for a in fields)
                 for col in (0, 1))
-            # Regroup as (c, g, ps, pd) pairs indexed by color.
+            # Regroup as per-field color pairs; psi_s is field 2 in both.
             t_sw = tuple(tuple(terms[col][i] for col in (0, 1))
-                         for i in range(4))
+                         for i in range(len(fields)))
             ps_halos = tuple(ctx.z_halo_planes(t_sw[2][col])
                              for col in (0, 1))
             du_sw = (pack_color(du, 0, z0), pack_color(du, 1, z0))
