@@ -156,6 +156,17 @@ def main():
         ("warps8_mg_tricubic", base.replace(warps=8, solver="multigrid",
                                             mg_cycles=3, residual_tol=1e-6,
                                             interp="tricubic")),
+        # r4: the 512^3 single-chip in-core point. The f32 gate config
+        # OOMs HBM at 512^3 by 1.21G (16.96 vs 15.75G usable); bf16 sweep
+        # constants (certified +3e-5 EPE, VALIDATION.md) cut c+g storage
+        # ~1.5G to fit. _flat additionally avoids the packed relayout
+        # copies if the bf16 cut alone is not enough.
+        ("tricubic_w8_restol_bf16", base.replace(
+            interp="tricubic", warps=8, sweeps=60, residual_tol=1e-6,
+            terms_dtype="bfloat16")),
+        ("tricubic_w8_restol_bf16_flat", base.replace(
+            interp="tricubic", warps=8, sweeps=60, residual_tol=1e-6,
+            terms_dtype="bfloat16", sweep_layout="flat")),
     ]
     if args.quick:
         configs = configs[:3]

@@ -39,6 +39,18 @@ def incore_peak_bytes(shape, p) -> int:
         # inner solve, plus the symmetric A^-1 (6) replacing smt/sw_inv's
         # role (those two stay in the terms tuple but are dead).
         fields += 9 + 3 + 6
+    # Config-dependent surcharges, calibrated against the measured 512^3
+    # HBM OOM of the r4 gate config (XLA: 16.96G needed vs 15.75G usable,
+    # ~126 padded B/voxel vs the base model's ~85 with slack; the plain
+    # packed config demonstrably fits at 512^3, so the pressure is the
+    # tricubic warp pads + the early-stop while_loop's double-buffered du
+    # carries, not the packed relayout):
+    if p.interp == "tricubic":
+        # Fused-warp Z/Y/X-padded input copies (flow pad is flow-sized).
+        fields += 4
+    if p.residual_tol > 0.0:
+        # The early-stop while_loop double-buffers its du carry.
+        fields += 6
     return int((pyramids + fields * finest) * itemsize * _SLACK)
 
 
