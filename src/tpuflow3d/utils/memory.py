@@ -51,6 +51,12 @@ def incore_peak_bytes(shape, p) -> int:
     if p.residual_tol > 0.0:
         # The early-stop while_loop double-buffers its du carry.
         fields += 6
+    if p.solver == "multigrid":
+        # MG hierarchy at the finest level: d6(6) + w(6) + ainv(6) + sw
+        # + psi_s + V-cycle residual/correction/resize temps. Calibrated
+        # against the measured 384^3 tricubic+mg OOM on a 16G chip
+        # (fits at 256^3, ResourceExhausted at 384^3).
+        fields += 34
     return int((pyramids + fields * finest) * itemsize * _SLACK)
 
 
