@@ -91,7 +91,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(z0_ref, i1p_ref, flp_ref, i0p_ref, out_ref, i1s, fls, i0s, sems,
             *, bz: int, by: int, w: int, mc: int, dg: int, h: int,
-            nzb: int, nyb: int, z_sharded: bool, cubic: bool):
+            nzb: int, nyb: int, z_sharded: bool, cubic: bool,
+            emit_warped: bool):
     k = pl.program_id(0)
     j = pl.program_id(1)
     # i1 slab margin: deriv(1) + displacement(mc) + interp support (1
@@ -225,7 +226,13 @@ def _kernel(z0_ref, i1p_ref, flp_ref, i0p_ref, out_ref, i1s, fls, i0s, sems,
     gy = 0.5 * (ibar[1:-1, 2:, 1:-1] - ibar[1:-1, :-2, 1:-1])
     gx = 0.5 * (ibar[1:-1, 1:-1, 2:] - ibar[1:-1, 1:-1, :-2])
     it = acc[1:-1, 1:-1, 1:-1] - i0sv[1:-1, 1:-1, 1:-1]
-    out_ref[:] = jnp.stack([gz, gy, gx, it])
+    outs = [gz, gy, gx, it]
+    if emit_warped:
+        # The warped volume itself (gradient-constancy mode consumes it
+        # for the second-derivative terms): +4 B/voxel of output, saving
+        # the separate XLA gather pass.
+        outs.append(acc[1:-1, 1:-1, 1:-1])
+    out_ref[:] = jnp.stack(outs)
 
 
 def _rep_pad(x, lo: int, hi: int, axis: int):
@@ -242,18 +249,21 @@ def _rep_pad(x, lo: int, hi: int, axis: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("dims", "mc", "d_global", "z_sharded",
-                                    "cubic", "interpret"))
+                                    "cubic", "emit_warped", "interpret"))
 def _warp_grad_call(i1p, flp, i0p, z0, dims, mc: int, d_global: int,
-                    z_sharded: bool, cubic: bool, interpret: bool):
+                    z_sharded: bool, cubic: bool, emit_warped: bool,
+                    interpret: bool):
     d, h, w, bz, by = dims
     p = mc + 3 if cubic else mc + 2
     nzb, nyb = d // bz, pl.cdiv(h, by)
     sy1 = _round_up(by + 2 * p, 8)
     sys_ = _round_up(by + 2, 8)
+    nout = 5 if emit_warped else 4
 
     kernel = functools.partial(
         _kernel, bz=bz, by=by, w=w, mc=mc, dg=d_global, h=h, nzb=nzb,
-        nyb=nyb, z_sharded=z_sharded, cubic=cubic)
+        nyb=nyb, z_sharded=z_sharded, cubic=cubic,
+        emit_warped=emit_warped)
     out = pl.pallas_call(
         kernel,
         grid=(nzb, nyb),
@@ -263,9 +273,9 @@ def _warp_grad_call(i1p, flp, i0p, z0, dims, mc: int, d_global: int,
             pl.BlockSpec(memory_space=pl.ANY),    # flow padded
             pl.BlockSpec(memory_space=pl.ANY),    # i0 padded
         ],
-        out_specs=pl.BlockSpec((4, bz, by, w), lambda k, j: (0, k, j, 0),
+        out_specs=pl.BlockSpec((nout, bz, by, w), lambda k, j: (0, k, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, d, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nout, d, h, w), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((bz + 2 * p, sy1, i1p.shape[-1]), jnp.float32),
             pltpu.VMEM((3, bz + 2, sys_, flp.shape[-1]), jnp.float32),
@@ -274,14 +284,19 @@ def _warp_grad_call(i1p, flp, i0p, z0, dims, mc: int, d_global: int,
         ],
         interpret=interpret,
     )(jnp.asarray(z0, jnp.int32).reshape(1), i1p, flp, i0p)
+    if emit_warped:
+        return out[0:3], out[3], out[4]
     return out[0:3], out[3]
 
 
 def warp_grad_pallas(i1, flow, i0, ctx: HaloCtx = HaloCtx(),
                      max_disp: float = 2.0, interp: str = "trilinear",
-                     interpret: bool = False):
+                     emit_warped: bool = False, interpret: bool = False):
     """Fused warp + derivatives. i1/i0 (D,H,W) local slabs, flow (3,D,H,W)
-    with |components| <= max_disp. Returns (g (3,D,H,W), it (D,H,W)).
+    with |components| <= max_disp. Returns (g (3,D,H,W), it (D,H,W)), plus
+    the warped volume i1w (D,H,W) when ``emit_warped`` (the
+    gradient-constancy mode consumes it — one extra output channel
+    instead of a separate gather pass).
     ``interp``: 'trilinear' (tent select-interpolate) or 'tricubic'
     (Catmull-Rom select-interpolate — the accuracy-gate config's sampler).
 
@@ -313,4 +328,4 @@ def warp_grad_pallas(i1, flow, i0, ctx: HaloCtx = HaloCtx(),
     i0p = prep(i0, 1, 1, sys_)
     return _warp_grad_call(i1p, flp, i0p, ctx.z0(d),
                            (d, h, w, bz, by), mc, ctx.d_global(d),
-                           ctx.n_shards > 1, cubic, interpret)
+                           ctx.n_shards > 1, cubic, emit_warped, interpret)

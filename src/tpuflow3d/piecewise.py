@@ -243,11 +243,22 @@ def _ph_fused_warp_iter(i0s, i1s, fls, carry, z0, kbase, dg: int,
     gc = None
     _max_clamp = (PALLAS_WARP_TRICUBIC_MAX_CLAMP if p.interp == "tricubic"
                   else PALLAS_WARP_MAX_CLAMP)
-    if (pal and p.deriv_order == 2 and p.gamma == 0.0
+    if (pal and p.deriv_order == 2
             and 0.0 < p.flow_clamp <= _max_clamp):
-        g, it = warp_grad_pallas(i1s, fls, i0s, ctx, max_disp=p.flow_clamp,
-                                 interp=p.interp,
-                                 interpret=pallas_interpret())
+        gamma = p.gamma > 0.0
+        out = warp_grad_pallas(i1s, fls, i0s, ctx, max_disp=p.flow_clamp,
+                               interp=p.interp, emit_warped=gamma,
+                               interpret=pallas_interpret())
+        if gamma:
+            # gc rides the fused streamed kernel via the emitted warped
+            # slab (r4); the stencils run on it exactly as the XLA branch
+            # below.
+            g, it, i1w = out
+            gc = grad_constancy_terms(
+                i0s, i1w, ctx, order=p.deriv_order,
+                g=_clamp_global_z(g, z0, dg))
+        else:
+            g, it = out
     else:
         i1w = warp_volume(i1s, fls, ctx, max_disp=p.flow_clamp,
                           interp=p.interp)

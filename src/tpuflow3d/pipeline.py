@@ -43,12 +43,12 @@ def _use_fused_warp(p: FlowParams) -> bool:
     # The fused kernel computes 2-point derivatives in-VMEM and samples
     # trilinearly (tent select-interpolate) or tricubically (Catmull-Rom
     # select-interpolate — serves the accuracy-gate config); 4th-order
-    # stencils take the XLA warp + derivative path.
-    # The fused kernel never materializes the warped volume, which the
-    # gradient-constancy terms need — gamma > 0 takes the XLA path too.
+    # stencils take the XLA warp + derivative path. Gradient constancy
+    # (gamma > 0) rides the fused kernel too: it emits the warped volume
+    # as a 5th output channel (r4) and the gc stencils run on it in XLA.
     max_clamp = (PALLAS_WARP_TRICUBIC_MAX_CLAMP if p.interp == "tricubic"
                  else PALLAS_WARP_MAX_CLAMP)
-    return (use_pallas(p) and p.deriv_order == 2 and p.gamma == 0.0
+    return (use_pallas(p) and p.deriv_order == 2
             and 0.0 < p.flow_clamp <= max_clamp)
 
 
@@ -60,9 +60,18 @@ def warp_iteration(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx, parity,
     from tpuflow3d.pallas.warp_grad import warp_grad_pallas
     gc = None
     if _use_fused_warp(p):
-        g, it = warp_grad_pallas(i1l, flow, i0l, ctx,
-                                 max_disp=p.flow_clamp, interp=p.interp,
-                                 interpret=pallas_interpret())
+        gamma = p.gamma > 0.0
+        out = warp_grad_pallas(i1l, flow, i0l, ctx,
+                               max_disp=p.flow_clamp, interp=p.interp,
+                               emit_warped=gamma,
+                               interpret=pallas_interpret())
+        if gamma:
+            from tpuflow3d.derivatives import grad_constancy_terms
+            g, it, i1w = out
+            gc = grad_constancy_terms(i0l, i1w, ctx,
+                                      order=p.deriv_order, g=g)
+        else:
+            g, it = out
     else:
         i1w = warp_volume(i1l, flow, ctx, max_disp=p.flow_clamp,
                           interp=p.interp)

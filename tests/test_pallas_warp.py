@@ -125,3 +125,38 @@ def test_pipeline_fused_tricubic_matches_xla():
     ref = np.asarray(compute_flow(i0, i1, p.replace(backend="xla")))
     got = np.asarray(compute_flow(i0, i1, p.replace(backend="pallas")))
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("interp", ["trilinear", "tricubic"])
+def test_warp_grad_emit_warped(interp):
+    """emit_warped returns the warped volume as a 5th channel, equal to
+    the XLA warp oracle (the gradient-constancy mode consumes it)."""
+    i0, i1, flow = _case((8, 16, 16), clamp=2.0)
+    ctx = HaloCtx()
+    i1w_ref = warp_volume(i1, flow, ctx, interp=interp)
+    g_ref, it_ref = derivatives(i0, i1w_ref, ctx)
+    g, it, i1w = warp_grad_pallas(i1, flow, i0, ctx, max_disp=2.0,
+                                  interp=interp, emit_warped=True,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(i1w), np.asarray(i1w_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(it), np.asarray(it_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_fused_gamma_matches_xla():
+    """Full pipeline, gamma > 0, fused warp kernel WITH emitted warped
+    volume (backend=pallas) == the XLA pipeline."""
+    from tpuflow3d import FlowParams, compute_flow
+    from tpuflow3d import synthetic as syn
+
+    shape = (16, 16, 16)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 0.5)),
+                              seed=1)
+    p = FlowParams(levels=2, warps=2, inner_iterations=2, sweeps=5,
+                   alpha=0.05, gamma=1.0, flow_clamp=2.0)
+    ref = np.asarray(compute_flow(i0, i1, p.replace(backend="xla")))
+    got = np.asarray(compute_flow(i0, i1, p.replace(backend="pallas")))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
