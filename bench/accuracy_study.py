@@ -164,6 +164,15 @@ def main():
         ("tricubic_w8_restol_bf16", base.replace(
             interp="tricubic", warps=8, sweeps=60, residual_tol=1e-6,
             terms_dtype="bfloat16")),
+        # r4: the full composition stack at gate scale — gradient
+        # constancy x tricubic (fused warp with emitted i1w) x packed-gc
+        # sweeps, alone and x multigrid (general-SPD d6 hierarchy).
+        ("tricubic_w8_restol_gamma", base.replace(
+            interp="tricubic", warps=8, sweeps=60, residual_tol=1e-6,
+            gamma=1.0)),
+        ("warps8_mg_tricubic_gamma", base.replace(
+            warps=8, solver="multigrid", mg_cycles=3, residual_tol=1e-6,
+            interp="tricubic", gamma=1.0)),
         ("tricubic_w8_restol_bf16_flat", base.replace(
             interp="tricubic", warps=8, sweeps=60, residual_tol=1e-6,
             terms_dtype="bfloat16", sweep_layout="flat")),
