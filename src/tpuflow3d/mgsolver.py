@@ -80,6 +80,13 @@ class MGLevel(NamedTuple):
     # alpha in VMEM: 64 B/voxel vs ~88 for the XLA sweep). None when
     # axis rounding made the scales anisotropic -> XLA smoother there.
     psi_s: jax.Array | None = None
+    # Static per-axis effective alphas (z, y, x) — lets mg_residual
+    # recompute the directional weights from psi_s on the fly instead of
+    # streaming the materialized 6-volume w stack. With the Pallas
+    # smoother (which also recomputes w in VMEM) the residual is then
+    # the LAST w consumer, so XLA dead-code-eliminates the whole stack:
+    # ~6 x 226 MB at the 384^3 fine level (the r4 mg OOM margin).
+    axis_alpha: tuple | None = None
 
 
 def mg_shapes(shape_global: tuple[int, int, int],
@@ -127,13 +134,13 @@ def _weights(psi_s, axis_scale, alpha, ctx: HaloCtx):
 
 
 def _assemble_level(w, sw, d6, shape_global, parity, alpha_eff=None,
-                    psi_s=None) -> MGLevel:
+                    psi_s=None, axis_alpha=None) -> MGLevel:
     ainv = _sym3_inverse(sw + d6[0], d6[1], d6[2],
                          sw + d6[3], d6[4], sw + d6[5])
     t = SolveTerms(c=None, g=None, w=w, sw_inv=None, smt=None, ainv=ainv)
     return MGLevel(terms=t, d6=d6, sw=sw, parity=parity,
                    shape_global=shape_global, alpha_eff=alpha_eff,
-                   psi_s=psi_s)
+                   psi_s=psi_s, axis_alpha=axis_alpha)
 
 
 def build_mg_levels(t: SolveTerms, p: FlowParams, ctx: HaloCtx
@@ -160,7 +167,8 @@ def build_mg_levels(t: SolveTerms, p: FlowParams, ctx: HaloCtx
     sw0 = 1.0 / t.sw_inv
     levels = [_assemble_level(t.w, sw0, d6, shapes[0],
                               parity_mask(t.psi_s.shape, ctx),
-                              alpha_eff=p.alpha, psi_s=t.psi_s)]
+                              alpha_eff=p.alpha, psi_s=t.psi_s,
+                              axis_alpha=(p.alpha,) * 3)]
     psi_s = t.psi_s
     for shp in shapes[1:]:
         d6 = resize3(d6, shp, ctx)
@@ -172,7 +180,8 @@ def build_mg_levels(t: SolveTerms, p: FlowParams, ctx: HaloCtx
         levels.append(_assemble_level(
             w, sw, d6, shp, parity_mask(psi_s.shape, ctx),
             alpha_eff=p.alpha * axis_scale[0] if uniform else None,
-            psi_s=psi_s))
+            psi_s=psi_s,
+            axis_alpha=tuple(p.alpha * s for s in axis_scale)))
     return levels
 
 
@@ -212,11 +221,26 @@ def _smooth(du, lvl: MGLevel, rhs, p: FlowParams, n: int, ctx: HaloCtx):
 
 def mg_residual(du, lvl: MGLevel, rhs, ctx: HaloCtx):
     """r = rhs + sum_q w du_q - (sw*I + D) du_p — the defect of the
-    linearized system (solver.py's per-voxel form) at any MG level."""
+    linearized system (solver.py's per-voxel form) at any MG level.
+
+    The directional weights are recomputed from psi_s on the fly
+    (w_pq = axis_alpha*(psi_s[p]+psi_s[q])/2, masked at global faces) —
+    identical arithmetic to the materialized stack, but it leaves the
+    6-volume w stack with no consumer under the Pallas smoother, so XLA
+    DCEs it (the fine level's largest MG allocation)."""
     du_nb = _neighbors6(du, ctx)
     r = rhs.astype(du.dtype)
-    for wd, dnb in zip(lvl.terms.w, du_nb):
-        r = r + wd[None] * dnb
+    if lvl.axis_alpha is not None and lvl.psi_s is not None:
+        psi_s = lvl.psi_s
+        masks = _face_masks(psi_s.shape, ctx, psi_s.dtype)
+        psi_nb = _neighbors6(psi_s, ctx)
+        for i, (pnb, m, dnb) in enumerate(zip(psi_nb, masks, du_nb)):
+            a_eff = lvl.axis_alpha[i // 2]
+            wd = a_eff * 0.5 * (psi_s + pnb) * m
+            r = r + wd[None] * dnb
+    else:
+        for wd, dnb in zip(lvl.terms.w, du_nb):
+            r = r + wd[None] * dnb
     a = lvl.d6
     d_du = jnp.stack([
         a[0] * du[0] + a[1] * du[1] + a[2] * du[2],
