@@ -200,13 +200,60 @@ def _kernel_fractions(shape, p, bw):
     plo_g, phi_g = ctx.z_halo_planes(tg.psi_s)
     dt = timed(lambda x: gc_loop(x, tg.c, tg.ainv, tg.psi_s, plo_g, phi_g),
                du) / (K * 2)
-    tg = None
     from tpuflow3d.ops import get_op
     gc_bytes = get_op("solve").byte_variants["gc flat (gamma > 0, Pallas)"]
     implied["sor_gc"] = vox * gc_bytes / dt
     out["sor_gc_halfsweep_ms"] = round(dt * 1e3, 4)
+    gc_flat_ms = dt * 1e3
     print(f"bench: SOR gc half-sweep {dt * 1e3:.3f} ms, "
           f"{vox / dt / 1e9:.2f} Gvox/s", file=sys.stderr, flush=True)
+
+    # Packed gc variant (r4, pallas/sor_gc_packed.py — the gamma
+    # production layout at even W >= 256): 40 vs 64 B/voxel.
+    from tpuflow3d.pallas.sor_gc_packed import sor_halfsweep_gc_packed
+
+    @jax.jit
+    def pack_gc(du, tg):
+        pk = lambda a, col: pack_color(a, col, 0)
+        return ([pk(du, c2) for c2 in (0, 1)],
+                [pk(tg.c, c2) for c2 in (0, 1)],
+                [pk(tg.ainv, c2) for c2 in (0, 1)],
+                [pk(tg.psi_s, c2) for c2 in (0, 1)])
+
+    dug_pk, cg_pk, ai_pk, psg_pk = pack_gc(du, tg)
+    jax.block_until_ready((dug_pk, cg_pk))
+    psg_halos = [ctx.z_halo_planes(psg_pk[c2]) for c2 in (0, 1)]
+    tg = None
+
+    @jax.jit
+    def gc_packed_loop(dp, cg_pk, ai_pk, psg_pk, psg_halos):
+        def body(i, dp):
+            d0, d1 = dp
+            lo, hi = ctx.z_halo_planes(d1)
+            d0 = sor_halfsweep_gc_packed(
+                d0, d1, cg_pk[0], ai_pk[0], psg_pk[0], psg_pk[1],
+                lo, hi, psg_halos[1][0], psg_halos[1][1], 0,
+                p.alpha, p.omega, 0, d)
+            lo, hi = ctx.z_halo_planes(d0)
+            d1 = sor_halfsweep_gc_packed(
+                d1, d0, cg_pk[1], ai_pk[1], psg_pk[1], psg_pk[0],
+                lo, hi, psg_halos[0][0], psg_halos[0][1], 0,
+                p.alpha, p.omega, 1, d)
+            return (d0, d1)
+        return lax.fori_loop(0, K, body, dp)
+
+    dt = timed(lambda x: gc_packed_loop(x, cg_pk, ai_pk, psg_pk, psg_halos),
+               tuple(dug_pk)) / (K * 2)
+    gc_pk_bytes = get_op("solve").byte_variants[
+        "gc packed (gamma > 0, even W >= 256)"]
+    implied["sor_gc_packed"] = vox * gc_pk_bytes / dt
+    out.update({"sor_gc_packed_halfsweep_ms": round(dt * 1e3, 4),
+                "gc_packed_vs_flat_speedup": round(gc_flat_ms / (dt * 1e3),
+                                                   3)})
+    dug_pk = cg_pk = ai_pk = psg_pk = None
+    print(f"bench: SOR gc packed half-sweep {dt * 1e3:.3f} ms, "
+          f"{gc_flat_ms / (dt * 1e3):.2f}x vs flat gc",
+          file=sys.stderr, flush=True)
 
     clamp = 2.0
     fl = jnp.clip(du * 40, -clamp, clamp)
@@ -579,10 +626,13 @@ def main() -> int:
         "r1_config_seconds_per_run": round(dt, 3),
         # Historical study rows (STUDY_256.jsonl + VALIDATION.md): the
         # trilinear converged floor is 2.4e-3; tricubic broke it (9.4e-4
-        # r3 gate row), tricubic+multigrid holds the record (3.4e-4).
+        # r3 gate row), tricubic+multigrid holds the record (3.4e-4), and
+        # the full r4 composition (gamma x tricubic x mg, all-Pallas hot
+        # paths, one-jit) matches it.
         "epe_converged_256_study": 0.0024,
         "epe_tricubic_256": 0.00094,
         "epe_tricubic_mg_256": 0.00034,
+        "epe_tricubic_mg_gamma_256": 0.00034,
         "accuracy_gate_1e3": ("MET" if min(
             headline_err, 0.00094) <= 1e-3 else "NOT MET"),
         "seconds_per_run": round(gate_dt if gate_vps is not None else dt,

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--chunk-z", type=int, default=32)
     ap.add_argument("--out", default=None)
     ap.add_argument("--warmup", type=int, default=1)
+    ap.add_argument("--interp", default="trilinear",
+                    choices=["trilinear", "tricubic"])
     args = ap.parse_args()
 
     import jax
@@ -56,7 +58,7 @@ def main():
     p = FlowParams(levels=5, warps=2, inner_iterations=1, sweeps=12,
                    alpha=0.02, flow_clamp=2.0,
                    penalizer_data="quadratic",
-                   penalizer_smooth="quadratic")
+                   penalizer_smooth="quadratic", interp=args.interp)
 
     for k in range(args.warmup):
         print(f"ooc_point: warmup pass {k}...", file=sys.stderr, flush=True)
@@ -78,6 +80,7 @@ def main():
            "seconds": round(dt, 2),
            "voxels_per_s": round(float(np.prod(shape)) / dt, 1),
            "params": {"levels": p.levels, "warps": p.warps,
+                      "interp": p.interp,
                       "inner_iterations": p.inner_iterations,
                       "sweeps": p.sweeps},
            "central_flow_median": [round(m, 4) for m in med],
