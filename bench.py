@@ -443,10 +443,9 @@ def main() -> int:
 
     # --- HEADLINE: the accuracy-gate config, one run -> voxels/s AND EPE
     # (VERDICT r3 missing #5: perf and accuracy evidence from the SAME
-    # measurement). Dispatch: level-stepped (bounded per-program device
-    # time on the emulated chip — the one-jit tricubic program at 256^3
-    # faulted it in r3); falls back to warp-stepped if the device still
-    # kills a level program. TPUFLOW_BENCH_GATE=0 skips (quick runs).
+    # measurement). Dispatch order per the r4 policy below: one fused jit
+    # first, stepped modes as automatic fallbacks.
+    # TPUFLOW_BENCH_GATE=0 skips (quick runs).
     gate = {}
     gate_err, gate_vps = None, None
     if os.environ.get("TPUFLOW_BENCH_GATE", "1") != "0":
@@ -633,8 +632,14 @@ def main() -> int:
         "epe_tricubic_256": 0.00094,
         "epe_tricubic_mg_256": 0.00034,
         "epe_tricubic_mg_gamma_256": 0.00034,
-        "accuracy_gate_1e3": ("MET" if min(
-            headline_err, 0.00094) <= 1e-3 else "NOT MET"),
+        # The gate verdict comes from THIS run's gate-config EPE; if the
+        # gate run did not execute, say so rather than inheriting the
+        # study rows' verdict (they remain recorded above).
+        "accuracy_gate_1e3": (
+            ("MET" if gate_err <= 1e-3 else "NOT MET")
+            if gate_err is not None else
+            "not measured this run (gate run unavailable; "
+            "STUDY_256.jsonl gate rows: MET)"),
         "seconds_per_run": round(gate_dt if gate_vps is not None else dt,
                                  3),
         **kern,

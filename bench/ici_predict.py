@@ -140,7 +140,8 @@ def main():
             "implied_gbps": round(vox * sweep_bytes / dt / 1e9, 1)})
         print(json.dumps(measured[-1]), flush=True)
 
-    halo_bytes = 2 * 3 * hw * (hw // 2) * 4  # 2 dirs x packed du plane
+    plane_bytes = 3 * hw * (hw // 2) * 4  # one packed du plane, per dir
+    halo_bytes = 2 * plane_bytes          # interior chip: both directions
     t_lat = args.coll_latency_us * 1e-6
     ici = args.ici_gbps * 1e9
 
@@ -148,9 +149,14 @@ def main():
         rows = []
         for n in (1, 2, 4, 8):
             per = []
+            # Worst (slowest) chip sets step time. At n=2 BOTH chips
+            # border a global face and exchange in ONE direction; at
+            # n>=3 interior chips exchange both directions.
+            dirs = 0 if n == 1 else (1 if n == 2 else 2)
             for m in measured:
                 t_comp = t_comp_fn(m)
-                t_halo = 0.0 if n == 1 else halo_bytes / ici + t_lat
+                t_halo = (0.0 if dirs == 0
+                          else dirs * plane_bytes / ici + t_lat)
                 per.append({"per_dev_z": m["per_dev_z"],
                             "efficiency": round(
                                 t_comp / (t_comp + t_halo), 4)})

@@ -243,7 +243,11 @@ def _ph_fused_warp_iter(i0s, i1s, fls, carry, z0, kbase, dg: int,
     gc = None
     _max_clamp = (PALLAS_WARP_TRICUBIC_MAX_CLAMP if p.interp == "tricubic"
                   else PALLAS_WARP_MAX_CLAMP)
-    if (pal and p.deriv_order == 2
+    # Cubic VMEM-stack width gate (pipeline.warp_iteration has the same
+    # rule with the measurement behind it): wide-W tricubic slabs fall
+    # back to the XLA gather rather than overflow scoped VMEM at BY=8.
+    _cubic_fits = p.interp != "tricubic" or i1s.shape[-1] <= 512
+    if (pal and p.deriv_order == 2 and _cubic_fits
             and 0.0 < p.flow_clamp <= _max_clamp):
         gamma = p.gamma > 0.0
         out = warp_grad_pallas(i1s, fls, i0s, ctx, max_disp=p.flow_clamp,

@@ -59,7 +59,14 @@ def warp_iteration(i0l, i1l, flow, p: FlowParams, ctx: HaloCtx, parity,
     from tpuflow3d.backend import pallas_interpret
     from tpuflow3d.pallas.warp_grad import warp_grad_pallas
     gc = None
-    if _use_fused_warp(p):
+    # Cubic VMEM-stack width gate: at BY=8 (the floor — DMA windows need
+    # 8-row alignment) the cubic variant's extended-block temps grow
+    # linearly with W, and the measured scoped-VMEM overflow point
+    # ((BY=32, W=256) at 16.97M vs the 16M limit) puts W > 512 at BY=8
+    # past the budget. Wide-W tricubic levels fall back to the XLA
+    # gather (correct, slower) instead of failing Mosaic allocation.
+    cubic_fits = p.interp != "tricubic" or i0l.shape[-1] <= 512
+    if _use_fused_warp(p) and cubic_fits:
         gamma = p.gamma > 0.0
         out = warp_grad_pallas(i1l, flow, i0l, ctx,
                                max_disp=p.flow_clamp, interp=p.interp,

@@ -252,25 +252,33 @@ def read_seed_csv(path: str) -> np.ndarray:
     malformed or short row raises with its line number — a typo'd seed
     must fail loudly, not vanish from the track set."""
     rows = []
-    first_data_seen = False
+    first_content_line = True
     with open(path) as fh:
         for lineno, line in enumerate(fh, start=1):
             line = line.strip()
             if not line:
                 continue
             parts = line.split(",")
-            if len(parts) < 3:
-                raise ValueError(f"{path}:{lineno}: expected 3 "
-                                 f"comma-separated values (z,y,x), got "
-                                 f"{len(parts)}: {line!r}")
             try:
-                rows.append([float(v) for v in parts[:3]])
+                vals = [float(v) for v in parts[:3]]
+                numeric = True
             except ValueError:
-                if not first_data_seen and not rows:
-                    continue  # header line
+                numeric = False
+            if first_content_line and not numeric:
+                # Only a non-numeric FIRST line passes as a header —
+                # '# comment', 'z y x', 'z,y,x' all land here; a
+                # truncated-but-numeric first row ('1,2') does not.
+                first_content_line = False
+                continue
+            first_content_line = False
+            if len(parts) < 3:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 3 comma-separated values "
+                    f"(z,y,x), got {len(parts)}: {line!r}")
+            if not numeric:
                 raise ValueError(f"{path}:{lineno}: could not parse seed "
-                                 f"row {line!r}") from None
-            first_data_seen = True
+                                 f"row {line!r}")
+            rows.append(vals)
     if not rows:
         raise ValueError(f"no seed points in {path}")
     return np.asarray(rows, np.float64)

@@ -341,3 +341,23 @@ def test_gamma_streamed_jacobi():
     ref = np.asarray(compute_flow(i0, i1, p))
     got = compute_flow_piecewise(i0, i1, p, chunk_z=4)
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_gamma_fused_stream_pallas_matches_xla():
+    """gamma > 0 streamed with backend='pallas' (interpret on CPU): the
+    fused warp kernel's EMITTED warped slab feeds the gradient-constancy
+    terms (r4, piecewise.py fused-warp branch) — must match the XLA
+    backend's streamed solve, for both samplers."""
+    shape = (22, 16, 16)
+    i0, i1, _ = _pair(shape)
+    for interp in ("trilinear", "tricubic"):
+        base = dict(levels=2, warps=2, inner_iterations=1, sweeps=4,
+                    alpha=0.05, gamma=1.5, flow_clamp=2.0, interp=interp)
+        a = compute_flow_piecewise(
+            i0, i1, FlowParams(backend="pallas", **base), chunk_z=4,
+            fuse=True)
+        b = compute_flow_piecewise(
+            i0, i1, FlowParams(backend="xla", **base), chunk_z=4,
+            fuse=True)
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4,
+                                   err_msg=interp)

@@ -288,3 +288,27 @@ def test_cli_export_vtk_rejected_with_distributed():
          "--export-vtk"])
     with pytest.raises(ValueError, match="export-vtk"):
         cli._check_path_flags(args)
+
+
+def test_read_seed_csv_comment_and_short_headers(tmp_path):
+    """Non-numeric first lines without commas ('# comment', 'z y x') pass
+    as headers; a truncated-but-NUMERIC first row does not."""
+    import pytest
+
+    from tpuflow3d import postproc
+
+    p = str(tmp_path / "c.csv")
+    with open(p, "w") as fh:
+        fh.write("# my seed points\n1.0,2.0,3.0\n")
+    np.testing.assert_allclose(postproc.read_seed_csv(p), [[1, 2, 3]])
+
+    p = str(tmp_path / "s.csv")
+    with open(p, "w") as fh:
+        fh.write("z y x\n4.0,5.0,6.0\n")
+    np.testing.assert_allclose(postproc.read_seed_csv(p), [[4, 5, 6]])
+
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as fh:
+        fh.write("1,2\n4.0,5.0,6.0\n")
+    with pytest.raises(ValueError, match="t.csv:1"):
+        postproc.read_seed_csv(p)
