@@ -148,23 +148,20 @@ def _kernel(z0_ref,
     out_ref[:] = jnp.where((par == color)[None], new, du)
 
 
-@functools.partial(jax.jit, static_argnames=("alpha", "omega", "color",
-                                             "dg", "interpret"))
-def sor_halfsweep_pallas(du, c, g, psi_s, psi_d, du_lo, du_hi, ps_lo, ps_hi,
-                         z0, alpha: float, omega: float, color: int,
-                         dg: int, interpret: bool = False):
-    """One colored half-sweep, compact-terms form. All arrays are the LOCAL
-    shard: du/c/g (3,D,H,W), psi_s/psi_d (D,H,W); du_lo/du_hi (3,1,H,W) and
-    ps_lo/ps_hi (1,H,W) from HaloCtx.z_halo_planes; z0 = global z offset
-    (traced); dg = global Z extent (static)."""
-    _, d, h, wd = du.shape
-    bz, by = _pick_block(d, h, wd)
-    nzb = d // bz
+def sweep_specs(lane_w: int, d: int, h: int, bz: int, by: int):
+    """Shared BlockSpec builders for the red-black sweep kernel family
+    (flat/packed x rank-1/general-SPD). Returns (center, haloed):
+    ``center(nc)`` is the (nc, bz, by, lane_w) grid block; ``haloed(nc)``
+    is the 7-spec sequence every Z/Y-haloed field uses — center, the two
+    clamped adjacent-z planes, the two z-halo plane inputs, and the two
+    clamped 8-row y-margin blocks. The clamped index maps (especially
+    the partial-y-block handling via n8 = cdiv(h, 8)) are the subtlest
+    part of these kernels; this is the ONE copy."""
     nyb = pl.cdiv(h, by)
     n8 = pl.cdiv(h, 8)
 
     def vs(nc, bzz, byy, imap):
-        return pl.BlockSpec((nc, bzz, byy, wd), imap,
+        return pl.BlockSpec((nc, bzz, byy, lane_w), imap,
                             memory_space=pltpu.VMEM)
 
     def center(nc):
@@ -173,7 +170,8 @@ def sor_halfsweep_pallas(du, c, g, psi_s, psi_d, du_lo, du_hi, ps_lo, ps_hi,
     def zplane(nc, up: bool):
         if up:
             return vs(nc, 1, by,
-                      lambda k, j: (0, jnp.minimum((k + 1) * bz, d - 1), j, 0))
+                      lambda k, j: (0, jnp.minimum((k + 1) * bz, d - 1),
+                                    j, 0))
         return vs(nc, 1, by,
                   lambda k, j: (0, jnp.maximum(k * bz - 1, 0), j, 0))
 
@@ -190,12 +188,32 @@ def sor_halfsweep_pallas(du, c, g, psi_s, psi_d, du_lo, du_hi, ps_lo, ps_hi,
         return vs(nc, bz, 8,
                   lambda k, j: (0, k, jnp.maximum(j * (by // 8) - 1, 0), 0))
 
+    def haloed(nc):
+        return [center(nc), zplane(nc, True), zplane(nc, False),
+                zhalo(nc), zhalo(nc), yblk(nc, True), yblk(nc, False)]
+
+    return center, haloed
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "omega", "color",
+                                             "dg", "interpret"))
+def sor_halfsweep_pallas(du, c, g, psi_s, psi_d, du_lo, du_hi, ps_lo, ps_hi,
+                         z0, alpha: float, omega: float, color: int,
+                         dg: int, interpret: bool = False):
+    """One colored half-sweep, compact-terms form. All arrays are the LOCAL
+    shard: du/c/g (3,D,H,W), psi_s/psi_d (D,H,W); du_lo/du_hi (3,1,H,W) and
+    ps_lo/ps_hi (1,H,W) from HaloCtx.z_halo_planes; z0 = global z offset
+    (traced); dg = global Z extent (static)."""
+    _, d, h, wd = du.shape
+    bz, by = _pick_block(d, h, wd)
+    nzb = d // bz
+    nyb = pl.cdiv(h, by)
+    center, haloed = sweep_specs(wd, d, h, bz, by)
+
     specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),               # z0 (1,)
-        center(3), zplane(3, True), zplane(3, False), zhalo(3), zhalo(3),
-        yblk(3, True), yblk(3, False),
-        center(1), zplane(1, True), zplane(1, False), zhalo(1), zhalo(1),
-        yblk(1, True), yblk(1, False),
+        *haloed(3),                                           # du
+        *haloed(1),                                           # psi_s
         center(3),                                            # c
         center(3),                                            # g
         center(1),                                            # psi_d

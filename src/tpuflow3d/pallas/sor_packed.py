@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuflow3d.pallas.sor import _pick_block
+from tpuflow3d.pallas.sor import _pick_block, sweep_specs
 
 
 def _row_offset(d: int, h: int, z0, color: int):
@@ -175,43 +175,14 @@ def sor_halfsweep_packed(du_a, du_o, c_a, g_a, ps_a, ps_o, pd_a,
     bz, by = _pick_block(d, h, wp)
     nzb = d // bz
     nyb = pl.cdiv(h, by)
-    n8 = pl.cdiv(h, 8)
-
-    def vs(nc, bzz, byy, imap):
-        return pl.BlockSpec((nc, bzz, byy, wp), imap,
-                            memory_space=pltpu.VMEM)
-
-    def center(nc):
-        return vs(nc, bz, by, lambda k, j: (0, k, j, 0))
-
-    def zplane(nc, up: bool):
-        if up:
-            return vs(nc, 1, by,
-                      lambda k, j: (0, jnp.minimum((k + 1) * bz, d - 1), j, 0))
-        return vs(nc, 1, by,
-                  lambda k, j: (0, jnp.maximum(k * bz - 1, 0), j, 0))
-
-    def zhalo(nc):
-        return vs(nc, 1, by, lambda k, j: (0, 0, j, 0))
-
-    def yblk(nc, up: bool):
-        if nyb == 1:
-            return vs(nc, bz, by, lambda k, j: (0, k, 0, 0))
-        if up:
-            return vs(nc, bz, 8,
-                      lambda k, j: (0, k, jnp.minimum((j + 1) * (by // 8),
-                                                      n8 - 1), 0))
-        return vs(nc, bz, 8,
-                  lambda k, j: (0, k, jnp.maximum(j * (by // 8) - 1, 0), 0))
+    center, haloed = sweep_specs(wp, d, h, bz, by)
 
     specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                # z0 (1,)
         center(3),                                            # du_a
-        center(3), zplane(3, True), zplane(3, False),         # du_o
-        zhalo(3), zhalo(3), yblk(3, True), yblk(3, False),
+        *haloed(3),                                           # du_o
         center(1),                                            # ps_a
-        center(1), zplane(1, True), zplane(1, False),         # ps_o
-        zhalo(1), zhalo(1), yblk(1, True), yblk(1, False),
+        *haloed(1),                                           # ps_o
         center(3),                                            # c_a
         center(3),                                            # g_a
         center(1),                                            # pd_a
