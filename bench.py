@@ -632,14 +632,17 @@ def main() -> int:
         "epe_tricubic_256": 0.00094,
         "epe_tricubic_mg_256": 0.00034,
         "epe_tricubic_mg_gamma_256": 0.00034,
-        # The gate verdict comes from THIS run's gate-config EPE; if the
-        # gate run did not execute, say so rather than inheriting the
-        # study rows' verdict (they remain recorded above).
+        # The gate verdict comes from THIS run's gate-config EPE; the
+        # gate itself is defined at 256^3 (BASELINE.json), so other
+        # sizes report n/a. If the gate run did not execute, say so
+        # rather than inheriting the study rows' verdict.
         "accuracy_gate_1e3": (
-            ("MET" if gate_err <= 1e-3 else "NOT MET")
-            if gate_err is not None else
-            "not measured this run (gate run unavailable; "
-            "STUDY_256.jsonl gate rows: MET)"),
+            (("MET" if gate_err <= 1e-3 else "NOT MET")
+             if gate_err is not None else
+             "not measured this run (gate run unavailable; "
+             "STUDY_256.jsonl gate rows: MET)")
+            if size == 256 else
+            f"n/a (gate defined at 256^3; this run is {size}^3)"),
         "seconds_per_run": round(gate_dt if gate_vps is not None else dt,
                                  3),
         **kern,
