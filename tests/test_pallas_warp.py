@@ -160,3 +160,21 @@ def test_pipeline_fused_gamma_matches_xla():
     ref = np.asarray(compute_flow(i0, i1, p.replace(backend="xla")))
     got = np.asarray(compute_flow(i0, i1, p.replace(backend="pallas")))
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_tricubic_wide_w_falls_back_to_xla():
+    """W > 512 tricubic levels skip the fused kernel (measured VMEM-stack
+    budget at BY=8) and fall back to the XLA gather — the pipeline must
+    still run and match the XLA backend."""
+    from tpuflow3d import FlowParams, compute_flow
+    from tpuflow3d import synthetic as syn
+
+    shape = (8, 8, 516)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 0.5)),
+                              seed=2)
+    p = FlowParams(levels=1, warps=1, inner_iterations=1, sweeps=2,
+                   alpha=0.05, interp="tricubic", flow_clamp=2.0,
+                   min_dim=4)
+    ref = np.asarray(compute_flow(i0, i1, p.replace(backend="xla")))
+    got = np.asarray(compute_flow(i0, i1, p.replace(backend="pallas")))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
