@@ -77,8 +77,9 @@ class MGLevel(NamedTuple):
     # three axis scales coincide (the common halving case) — lets the
     # smoother run as the gc Pallas kernel (sor_halfsweep_gc_pallas
     # consumes exactly (c, ainv, psi_s) and recomputes w from a single
-    # alpha in VMEM: 64 B/voxel vs ~88 for the XLA sweep). None when
-    # axis rounding made the scales anisotropic -> XLA smoother there.
+    # alpha in VMEM: 64 B/voxel vs ~88 for the XLA sweep). alpha_eff is
+    # None when axis rounding made the scales anisotropic -> XLA smoother
+    # there; psi_s/axis_alpha are set on every build_mg_levels level.
     psi_s: jax.Array | None = None
     # Static per-axis effective alphas (z, y, x) — lets mg_residual
     # recompute the directional weights from psi_s on the fly instead of
@@ -227,20 +228,18 @@ def mg_residual(du, lvl: MGLevel, rhs, ctx: HaloCtx):
     (w_pq = axis_alpha*(psi_s[p]+psi_s[q])/2, masked at global faces) —
     identical arithmetic to the materialized stack, but it leaves the
     6-volume w stack with no consumer under the Pallas smoother, so XLA
-    DCEs it (the fine level's largest MG allocation)."""
+    DCEs it (the fine level's largest MG allocation). build_mg_levels
+    sets psi_s/axis_alpha on every level, so no materialized-w fallback
+    is needed here."""
     du_nb = _neighbors6(du, ctx)
     r = rhs.astype(du.dtype)
-    if lvl.axis_alpha is not None and lvl.psi_s is not None:
-        psi_s = lvl.psi_s
-        masks = _face_masks(psi_s.shape, ctx, psi_s.dtype)
-        psi_nb = _neighbors6(psi_s, ctx)
-        for i, (pnb, m, dnb) in enumerate(zip(psi_nb, masks, du_nb)):
-            a_eff = lvl.axis_alpha[i // 2]
-            wd = a_eff * 0.5 * (psi_s + pnb) * m
-            r = r + wd[None] * dnb
-    else:
-        for wd, dnb in zip(lvl.terms.w, du_nb):
-            r = r + wd[None] * dnb
+    psi_s = lvl.psi_s
+    masks = _face_masks(psi_s.shape, ctx, psi_s.dtype)
+    psi_nb = _neighbors6(psi_s, ctx)
+    for i, (pnb, m, dnb) in enumerate(zip(psi_nb, masks, du_nb)):
+        a_eff = lvl.axis_alpha[i // 2]
+        wd = a_eff * 0.5 * (psi_s + pnb) * m
+        r = r + wd[None] * dnb
     a = lvl.d6
     d_du = jnp.stack([
         a[0] * du[0] + a[1] * du[1] + a[2] * du[2],
@@ -273,18 +272,37 @@ def mg_solve(du, t: SolveTerms, p: FlowParams, ctx: HaloCtx = HaloCtx(),
     levels = build_mg_levels(t, p, ctx)
     track = residuals_slot is not None
     n_global = 3.0 * ctx.d_global(du.shape[-3]) * du.shape[-2] * du.shape[-1]
+    res = residuals_slot if track else jnp.zeros((), du.dtype)
 
-    # Static unroll over cycles: the V-cycle is already a deep unrolled
-    # program and mg_cycles is small (<=4 in practice).
-    res = residuals_slot
-    stop = jnp.asarray(False)
-    for k in range(p.mg_cycles):
+    def one_cycle(du, res, k):
         du_new = _vcycle(du, t.c, levels, 0, p, ctx)
         delta = ctx.psum(jnp.sum(jnp.abs(du_new - du))) / n_global
-        du = jnp.where(stop, du, du_new)
         if track:
-            idx = slot_offset + k
-            res = res.at[idx].set(jnp.where(stop, res[idx], delta))
-        if p.residual_tol > 0.0:
-            stop = jnp.logical_or(stop, delta < p.residual_tol)
+            res = res.at[slot_offset + k].set(delta)
+        return du_new, res, delta
+
+    if p.residual_tol > 0.0:
+        # Genuine early stop (mirrors the SOR path, solver.py): converged
+        # cycles cost ZERO sweeps on hardware, not masked-out full cycles.
+        # The V-cycle body is traced once; the while_loop re-executes the
+        # compiled program only while the psum'd update norm exceeds tol.
+        def cond(carry):
+            _, _, k, delta = carry
+            return jnp.logical_and(k < p.mg_cycles, delta > p.residual_tol)
+
+        def body(carry):
+            du, res, k, _ = carry
+            du, res, delta = one_cycle(du, res, k)
+            return (du, res, k + 1, delta)
+
+        du, res, _, _ = lax.while_loop(
+            cond, body,
+            (du, res, jnp.int32(0), jnp.asarray(jnp.inf, du.dtype)))
+    else:
+        def body(k, carry):
+            du, res = carry
+            du, res, _ = one_cycle(du, res, k)
+            return (du, res)
+
+        du, res = lax.fori_loop(0, p.mg_cycles, body, (du, res))
     return (du, res) if track else (du, None)

@@ -128,6 +128,55 @@ def test_mg_residual_tracking():
     assert res[0] > res[2] > 0.0
 
 
+def test_mg_early_stop_while_loop():
+    """residual_tol > 0 runs a genuine lax.while_loop (converged cycles
+    cost zero sweeps): the early-stopped solution matches the full
+    static-cycle run, and the residual slot shows untouched tail slots
+    past the stopping cycle."""
+    t, du0 = _system()
+    # Full run to find where the update norm lands per cycle.
+    p_full = FlowParams(solver="multigrid", mg_cycles=6, mg_pre=2,
+                        mg_post=2, alpha=0.05, sweeps=8)
+    slot = jnp.zeros((p_full.sweeps,), jnp.float32)
+    du_full, res_full = mg_solve(du0, t, p_full, residuals_slot=slot)
+    res_full = np.asarray(res_full)
+    # Pick a tol that stops after ~3 cycles.
+    tol = float(res_full[3]) * 1.5
+    p_tol = p_full.replace(residual_tol=tol)
+    du_tol, res_tol = mg_solve(du0, t, p_tol, residuals_slot=slot)
+    res_tol = np.asarray(res_tol)
+    n_ran = int(np.count_nonzero(res_tol))
+    assert 0 < n_ran < p_full.mg_cycles, res_tol
+    # Cycles that ran match the full run's residual trace bitwise...
+    np.testing.assert_array_equal(res_tol[:n_ran], res_full[:n_ran])
+    # ...tail slots untouched...
+    assert np.all(res_tol[n_ran:] == 0.0)
+    # ...and the stopped solution equals the full run truncated there.
+    p_n = p_full.replace(mg_cycles=n_ran)
+    du_n, _ = mg_solve(du0, t, p_n)
+    np.testing.assert_array_equal(np.asarray(du_tol), np.asarray(du_n))
+
+
+def test_mg_early_stop_sharded_matches_unsharded():
+    """The while_loop early stop conditions on a psum'd norm: identical
+    stopping decision and solution under the Z-sharded ctx."""
+    import jax
+
+    from tpuflow3d.sharding import (compute_flow_sharded, make_z_mesh,
+                                    prepare_params)
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    shape = (32, 16, 16)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 0.5)),
+                              seed=7)
+    p = FlowParams(levels=2, warps=1, inner_iterations=2, sweeps=4,
+                   solver="multigrid", mg_cycles=4, residual_tol=1e-4,
+                   alpha=0.05, backend="xla")
+    ref = np.asarray(compute_flow(i0, i1, prepare_params(p, 4)))
+    got = np.asarray(compute_flow_sharded(i0, i1, p, make_z_mesh(4)))
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
 def test_piecewise_rejects_multigrid():
     from tpuflow3d.piecewise import compute_flow_piecewise
     i0 = np.zeros((16, 8, 8), np.float32)
