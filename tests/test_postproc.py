@@ -312,3 +312,18 @@ def test_read_seed_csv_comment_and_short_headers(tmp_path):
         fh.write("1,2\n4.0,5.0,6.0\n")
     with pytest.raises(ValueError, match="t.csv:1"):
         postproc.read_seed_csv(p)
+
+
+def test_read_seed_csv_typod_first_row_raises(tmp_path):
+    """A PARTIALLY numeric first line ('1.0,2.0,3.O') is a typo'd data
+    row, not a header: it must raise with its line number, not silently
+    vanish (ADVICE r4)."""
+    import pytest
+
+    from tpuflow3d import postproc
+
+    p = str(tmp_path / "typo.csv")
+    with open(p, "w") as fh:
+        fh.write("1.0,2.0,3.O\n4.0,5.0,6.0\n")
+    with pytest.raises(ValueError, match=":1:"):
+        postproc.read_seed_csv(p)
