@@ -144,6 +144,22 @@ def _assemble_level(w, sw, d6, shape_global, parity, alpha_eff=None,
                    psi_s=psi_s, axis_alpha=axis_alpha)
 
 
+def data_block_d6(t: SolveTerms):
+    """The six symmetric data-matrix entries (00,01,02,11,12,22) of the
+    per-voxel system. Gradient-constancy mode: compute_terms already
+    assembled the full block D = psi_d g g^T + psi_g sum_a h_a h_a^T (the
+    Galerkin quadratic-form restriction is rank-agnostic, so the whole
+    hierarchy and the general-SPD smoother work unchanged); otherwise the
+    rank-1 psi_d g g^T."""
+    if t.d6 is not None:
+        return t.d6
+    g = t.g.astype(t.psi_s.dtype)
+    pd = t.psi_d
+    return jnp.stack([pd * g[0] * g[0], pd * g[0] * g[1],
+                      pd * g[0] * g[2], pd * g[1] * g[1],
+                      pd * g[1] * g[2], pd * g[2] * g[2]])
+
+
 def build_mg_levels(t: SolveTerms, p: FlowParams, ctx: HaloCtx
                     ) -> list[MGLevel]:
     """MG hierarchy for one frozen nonlinearity update. Level 0 reuses the
@@ -153,29 +169,43 @@ def build_mg_levels(t: SolveTerms, p: FlowParams, ctx: HaloCtx
     d_local = t.psi_s.shape[-3]
     gshape = (ctx.d_global(d_local), t.psi_s.shape[-2], t.psi_s.shape[-1])
     shapes = mg_shapes(gshape, ctx.n_shards)
-    if t.d6 is not None:
-        # Gradient-constancy mode: compute_terms already assembled the full
-        # data block D = psi_d g g^T + psi_g sum_a h_a h_a^T; the Galerkin
-        # quadratic-form restriction below is rank-agnostic, so the whole
-        # hierarchy (and the general-SPD smoother) works unchanged.
-        d6 = t.d6
-    else:
-        g = t.g.astype(t.psi_s.dtype)
-        pd = t.psi_d
-        d6 = jnp.stack([pd * g[0] * g[0], pd * g[0] * g[1],
-                        pd * g[0] * g[2], pd * g[1] * g[1],
-                        pd * g[1] * g[2], pd * g[2] * g[2]])
-    sw0 = 1.0 / t.sw_inv
-    levels = [_assemble_level(t.w, sw0, d6, shapes[0],
+    d6 = data_block_d6(t)
+    # Rebuild (w, sw) from psi_s rather than reusing t.w + 1/t.sw_inv:
+    # bitwise-identical weights (same op order as compute_terms' block)
+    # but sw as the direct sum instead of the double reciprocal — which
+    # makes the fine system EXACTLY the one the streamed piecewise
+    # V-cycle assembles per slab (assemble_fine_system), so
+    # streamed == in-core holds at fp-noise level rather than drifting
+    # through the reciprocal's extra rounding.
+    w0, sw0 = _weights(t.psi_s, (1.0, 1.0, 1.0), p.alpha, ctx)
+    levels = [_assemble_level(w0, sw0, d6, shapes[0],
                               parity_mask(t.psi_s.shape, ctx),
                               alpha_eff=p.alpha, psi_s=t.psi_s,
                               axis_alpha=(p.alpha,) * 3)]
-    psi_s = t.psi_s
-    for shp in shapes[1:]:
-        d6 = resize3(d6, shp, ctx)
-        psi_s = resize3(psi_s, shp, ctx)
+    levels += build_coarse_chain(t.psi_s, d6, shapes[1:], gshape, p, ctx)
+    return levels
+
+
+def build_coarse_chain(psi_s, d6, shapes, gshape_fine, p: FlowParams,
+                       ctx: HaloCtx, inputs_at_first: bool = False
+                       ) -> list[MGLevel]:
+    """MG levels for the coarse ``shapes`` chain: psi_s restricted and the
+    directional weights rebuilt per level with the cumulative per-axis
+    1/h^2 scale vs the FINE global shape ``gshape_fine``; the six data-
+    matrix entries Galerkin-averaged (resize3 of the quadratic form).
+
+    ``inputs_at_first``: psi_s/d6 are already at shapes[0] (the piecewise
+    driver restricts the fine level by streaming and hands the result
+    here); otherwise they are fine-level fields restricted for every
+    entry, which is build_mg_levels' behavior."""
+    levels = []
+    for i, shp in enumerate(shapes):
+        if i > 0 or not inputs_at_first:
+            d6 = resize3(d6, shp, ctx)
+            psi_s = resize3(psi_s, shp, ctx)
         # Cumulative per-axis 1/h^2 of the smoothness stencil (z, y, x).
-        axis_scale = tuple((shp[a] / gshape[a]) ** 2 for a in range(3))
+        axis_scale = tuple((shp[a] / gshape_fine[a]) ** 2
+                           for a in range(3))
         w, sw = _weights(psi_s, axis_scale, p.alpha, ctx)
         uniform = max(axis_scale) - min(axis_scale) < 1e-9
         levels.append(_assemble_level(
@@ -184,6 +214,32 @@ def build_mg_levels(t: SolveTerms, p: FlowParams, ctx: HaloCtx
             psi_s=psi_s,
             axis_alpha=tuple(p.alpha * s for s in axis_scale)))
     return levels
+
+
+def assemble_fine_system(c, psi_s, d6, p: FlowParams, ctx: HaloCtx):
+    """(SolveTerms general-SPD branch: c/w/ainv, plus sw) for the FINE
+    system rebuilt from its streamed constituents. The piecewise streamed
+    V-cycle (piecewise._stream_mg_solve) stores only (c, psi_s, d6) on
+    the host — 10 channels instead of 10 + w(6) + ainv(6) — and
+    recomputes weights and the symmetric inverse per slab visit:
+    identical arithmetic to _assemble_level at axis_scale 1, traded
+    against per-visit VPU work (the same trade the gc Pallas smoother
+    makes in VMEM)."""
+    w, sw = _weights(psi_s, (1.0, 1.0, 1.0), p.alpha, ctx)
+    ainv = _sym3_inverse(sw + d6[0], d6[1], d6[2],
+                         sw + d6[3], d6[4], sw + d6[5])
+    t = SolveTerms(c=c, g=None, w=w, sw_inv=None, smt=None, ainv=ainv)
+    return t, sw
+
+
+def fine_residual(du, c, psi_s, d6, sw, p: FlowParams, ctx: HaloCtx):
+    """mg_residual on the fine system from streamed constituents (the
+    piecewise residual phase): weights recomputed from psi_s on the fly,
+    exactly as the in-core level-0 residual does."""
+    lvl = MGLevel(terms=None, d6=d6, sw=sw, parity=None,
+                  shape_global=None, psi_s=psi_s,
+                  axis_alpha=(p.alpha,) * 3)
+    return mg_residual(du, lvl, c, ctx)
 
 
 def _smooth(du, lvl: MGLevel, rhs, p: FlowParams, n: int, ctx: HaloCtx):

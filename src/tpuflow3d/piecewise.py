@@ -157,14 +157,17 @@ def _ph_halfsweep_gc(dus, cs, ws, ainvs, z0, dg: int, p: FlowParams,
                          color, ctx)
 
 
-def _trapezoid_sweeps(dus, t, z0, kbase, dg, p, sweeps, chunk):
+def _trapezoid_sweeps(dus, t, z0, kbase, dg, p, sweeps, chunk,
+                      omega=None):
     """All 2*sweeps half-sweeps of one chunk visit, wavefront-masked.
 
     Half-sweep j (1-based, color (j-1)&1) updates global planes
     [F_j(k-1), F_j(k)) with F_j(k) = clamp(kbase + 2*sweeps - j, 0, dg),
     kbase = k*chunk. All reads see exactly the in-core state (see module
-    docstring); everything else on the slab is passed through unchanged."""
+    docstring); everything else on the slab is passed through unchanged.
+    ``omega`` overrides p.omega (the MG smoother passes p.mg_omega)."""
     ctx = _wctx(z0, dg)
+    om = p.omega if omega is None else omega
     parity = parity_mask(dus.shape[1:], ctx)
     size = dus.shape[-3]
     zg = z0 + jnp.arange(size, dtype=jnp.int32)
@@ -177,7 +180,7 @@ def _trapezoid_sweeps(dus, t, z0, kbase, dg, p, sweeps, chunk):
         # permanently skip half-sweep j on planes [0, lo)).
         lo = jnp.where(kbase > 0,
                        jnp.clip(kbase - chunk + 2 * sweeps - j, 0, dg), 0)
-        du_new = sor_halfsweep(dus, t, p.omega, parity, (j - 1) & 1, ctx)
+        du_new = sor_halfsweep(dus, t, om, parity, (j - 1) & 1, ctx)
         m = ((zg >= lo) & (zg < hi)).reshape(1, size, 1, 1)
         return jnp.where(m, du_new, dus)
 
@@ -196,6 +199,131 @@ def _ph_sor_trapezoid_gc(dus, cs, ws, ainvs, z0, kbase, dg: int,
                          p: FlowParams, sweeps: int, chunk: int):
     return _trapezoid_sweeps(dus, _gc_terms(cs, ws, ainvs), z0, kbase, dg,
                              p, sweeps, chunk)
+
+
+# ---- streamed multigrid (solver="multigrid" out-of-core; VERDICT r4
+# missing #3). Decomposition: the FINE level's pre/post-smooths run as
+# trapezoid wavefront passes and its residual/restriction/prolongation as
+# streamed stencil/resample phases; the coarse hierarchy (<= 1/8 the fine
+# voxels) is built and V-cycled ENTIRELY in-core on the device. Host
+# arrays per inner iteration: (c 3, psi_s 1, d6 6) — weights and the
+# symmetric inverse are recomputed per slab visit from psi_s/d6
+# (mgsolver.assemble_fine_system), so no w(6)/ainv(6) host arrays exist.
+
+@partial(jax.jit, static_argnames=("dg", "p"))
+def _ph_terms_mg(gs, its, fls, dus, z0, dg: int, p: FlowParams):
+    """Fine-level MG system constants (c, psi_s, d6) from precomputed
+    streamed g/it (the gamma = 0 path)."""
+    from tpuflow3d.mgsolver import data_block_d6
+    t = compute_terms(gs, its, fls, dus, p, _wctx(z0, dg))
+    return t.c, t.psi_s, data_block_d6(t)
+
+
+@partial(jax.jit, static_argnames=("dg", "p"))
+def _ph_terms_mg_gc(i0s, i1s, fls, dus, z0, dg: int, p: FlowParams):
+    """Gradient-constancy twin: recompute warp + derivatives + gc terms
+    in-phase from the raw slab inputs (exactly _ph_terms_gc's layout) and
+    emit the MG constituents (c, psi_s, d6) — t.d6 is the full data
+    block here."""
+    ctx = _wctx(z0, dg)
+    i1w = warp_volume(i1s, fls, ctx, max_disp=p.flow_clamp, interp=p.interp)
+    g, it = derivatives(i0s, i1w, ctx, order=p.deriv_order)
+    gc = grad_constancy_terms(i0s, i1w, ctx, order=p.deriv_order,
+                              g=_clamp_global_z(g, z0, dg))
+    t = compute_terms(g, it, fls, dus, p, ctx, gc=gc)
+    return t.c, t.psi_s, t.d6
+
+
+@partial(jax.jit, static_argnames=("dg", "p", "sweeps", "chunk"))
+def _ph_mg_trapezoid(dus, cs, pss, d6s, z0, kbase, dg: int, p: FlowParams,
+                     sweeps: int, chunk: int):
+    """MG smoother chunk visit: rebuild (w, ainv) from the streamed
+    (psi_s, d6) in-slab, then the standard wavefront half-sweeps at
+    mg_omega. Slab-edge w contamination (window-replicated psi_s) only
+    touches the outermost slab plane, which is never inside the update
+    window."""
+    from tpuflow3d.mgsolver import assemble_fine_system
+    ctx = _wctx(z0, dg)
+    t, _ = assemble_fine_system(cs, pss, d6s, p, ctx)
+    return _trapezoid_sweeps(dus, t, z0, kbase, dg, p, sweeps, chunk,
+                             omega=p.mg_omega)
+
+
+@partial(jax.jit, static_argnames=("dg", "p"))
+def _ph_mg_residual(dus, cs, pss, d6s, z0, dg: int, p: FlowParams):
+    from tpuflow3d.mgsolver import assemble_fine_system, fine_residual
+    ctx = _wctx(z0, dg)
+    _, sw = assemble_fine_system(cs, pss, d6s, p, ctx)  # ainv is DCE'd
+    return fine_residual(dus, cs, pss, d6s, sw, p, ctx)
+
+
+@partial(jax.jit, static_argnames=("shapes", "gshape", "p"))
+def _ph_coarse_vcycle(rc, psi_c, d6_c, shapes, gshape: tuple,
+                      p: FlowParams):
+    """The device-resident part of one streamed V-cycle: build the coarse
+    chain from the restricted (psi_c, d6_c) (already at shapes[0]) and
+    recurse — identical to the in-core _vcycle below level 0. The chain
+    build re-executes per call (mg_cycles <= 4 and coarse work is <= 1/7
+    of a fine sweep, so the redundancy is bounded)."""
+    from tpuflow3d.grid import HaloCtx as _HC
+    from tpuflow3d.mgsolver import _vcycle, build_coarse_chain
+    ctx = _HC()
+    levels = build_coarse_chain(psi_c, d6_c, list(shapes), gshape, p, ctx,
+                                inputs_at_first=True)
+    ec = jnp.zeros_like(rc)
+    return _vcycle(ec, rc, levels, 0, p, ctx)
+
+
+def _stream_mg_solve(du, c, psi_s, d6, p: FlowParams,
+                     chunk: int) -> np.ndarray:
+    """p.mg_cycles streamed V-cycles on the frozen fine system (c = rhs),
+    early-stopped on the host-computed mean update norm when
+    residual_tol > 0 — the same cycle structure as mgsolver.mg_solve:
+    fine pre-smooth -> streamed residual -> streamed restriction ->
+    in-core coarse V-cycle on device -> streamed prolongation + add ->
+    fine post-smooth. With a single-entry MG ladder (tiny pyramid level)
+    it degenerates to pre + coarse sweeps, exactly like the in-core
+    coarsest-level branch."""
+    from tpuflow3d.mgsolver import mg_shapes
+
+    d, h, w = psi_s.shape
+    gshape = (d, h, w)
+    shapes = mg_shapes(gshape, 1)
+    tarr = [c, psi_s, d6]
+
+    def smooth(du, n):
+        if n <= 0:
+            return du
+        ph = partial(_ph_mg_trapezoid, dg=d, p=p, sweeps=n, chunk=chunk)
+        return _stream_sor_trapezoid(du, tarr, ph, p, chunk, sweeps=n)
+
+    if len(shapes) > 1:
+        # Device-resident coarse system, restricted once per frozen
+        # system (psi/d6 do not change across cycles).
+        psi_c = jnp.asarray(_stream_resample(psi_s, shapes[1], 0.0, chunk))
+        d6_c = jnp.asarray(_stream_resample(d6, shapes[1], 0.0, chunk))
+        sh_static = tuple(tuple(s) for s in shapes[1:])
+
+    for _cyc in range(p.mg_cycles):
+        du_prev = du.copy() if p.residual_tol > 0.0 else None
+        if len(shapes) == 1:
+            du = smooth(du, p.mg_pre)
+            du = smooth(du, p.mg_coarse_sweeps)
+        else:
+            du = smooth(du, p.mg_pre)
+            r = np.empty_like(du)
+            _stream(partial(_ph_mg_residual, dg=d, p=p),
+                    [du, *tarr], 1, chunk, [r], pipeline=True)
+            rc = jnp.asarray(_stream_resample(r, shapes[1], 0.0, chunk))
+            r = None
+            ec = _ph_coarse_vcycle(rc, psi_c, d6_c, sh_static, gshape, p)
+            du += _stream_resample(np.asarray(ec), gshape, 0.0, chunk)
+            du = smooth(du, p.mg_post)
+        if du_prev is not None:
+            delta = float(np.mean(np.abs(du - du_prev)))
+            if delta < p.residual_tol:
+                break
+    return du
 
 
 @partial(jax.jit, static_argnames=("dg", "p", "sweeps", "chunk"))
@@ -378,15 +506,17 @@ def _ph_resample(xs, z0_out, z0_in, sigma: float, out_len: int, scale: float,
 # ---- streaming drivers ----
 
 def _stream_sor_trapezoid(du, terms, phase, p: FlowParams,
-                          chunk: int) -> np.ndarray:
-    """One chunk pass advancing all 2*p.sweeps half-sweeps (see module
-    docstring). ``terms``: host term arrays streamed alongside du (the
-    phase's positional signature); ``phase``: a trapezoid slab jit
-    (_ph_sor_trapezoid or _ph_sor_trapezoid_gc, partially applied).
-    Mutates and returns the host ``du``; exact equal to 2*sweeps separate
-    streamed half-sweeps."""
+                          chunk: int, sweeps: int | None = None
+                          ) -> np.ndarray:
+    """One chunk pass advancing all 2*sweeps half-sweeps (see module
+    docstring; sweeps defaults to p.sweeps — the MG smoother passes
+    mg_pre/mg_post). ``terms``: host term arrays streamed alongside du
+    (the phase's positional signature); ``phase``: a trapezoid slab jit
+    (_ph_sor_trapezoid / _ph_sor_trapezoid_gc / _ph_mg_trapezoid,
+    partially applied). Mutates and returns the host ``du``; exact equal
+    to 2*sweeps separate streamed half-sweeps."""
     d = du.shape[-3]
-    s2 = 2 * p.sweeps
+    s2 = 2 * (p.sweeps if sweeps is None else sweeps)
     size = chunk + s2 + 2
     n_launch = -(-d // chunk) + 1  # +1 drains the graded frontier band
     for k in range(n_launch):
@@ -581,6 +711,7 @@ def _solve_level_streamed(i0l, i1l, flow, p: FlowParams, chunk: int,
             flow = _stream_fused_warp_iteration(i0l, i1l, flow, p, chunk, mw)
         return flow
     gamma = p.gamma > 0.0
+    mg = p.solver == "multigrid"
     for _ in range(p.warps):
         if not gamma:
             g = np.empty((3, d, h, w), np.float32)
@@ -589,6 +720,25 @@ def _solve_level_streamed(i0l, i1l, flow, p: FlowParams, chunk: int,
                     mw, chunk, [g, it], pipeline=True)
         du = np.zeros((3, d, h, w), np.float32)
         for _k in range(p.inner_iterations):
+            if mg:
+                # Streamed multigrid: stream the MG constituents
+                # (c, psi_s, d6 — weights/ainv rebuilt per slab visit),
+                # then V-cycle with streamed fine smooths and the
+                # device-resident coarse chain (_stream_mg_solve).
+                c = np.empty((3, d, h, w), np.float32)
+                pss = np.empty((d, h, w), np.float32)
+                d6 = np.empty((6, d, h, w), np.float32)
+                if gamma:
+                    _stream(partial(_ph_terms_mg_gc, dg=d, p=p),
+                            [i0l, i1l, flow, du], mw, chunk,
+                            [c, pss, d6], pipeline=True)
+                else:
+                    _stream(partial(_ph_terms_mg, dg=d, p=p),
+                            [g, it, flow, du], 2, chunk,
+                            [c, pss, d6], pipeline=True)
+                du = _stream_mg_solve(du, c, pss, d6, p, chunk)
+                c = pss = d6 = None
+                continue
             if gamma:
                 # Gradient-constancy terms: recompute warp+derivatives
                 # inside the terms phase from the raw inputs (no g/it/gc
@@ -660,21 +810,18 @@ def compute_flow_piecewise(i0, i1, params: FlowParams = FlowParams(),
     """Dense 3D optical flow for volumes that exceed device memory.
 
     i0, i1: (D, H, W) host arrays (any dtype). All pipeline state stays in
-    host RAM; the device only ever sees (chunk_z + margins) slabs. Returns
-    (3, D, H, W) float32 host flow. ``timer``: optional
-    utils.profiling.PhaseTimer — records presmooth/pyramid/per-level solve
-    and upsample wall times (CLI --timings).
+    host RAM; the device only ever sees (chunk_z + margins) slabs — except
+    solver="multigrid", whose coarse hierarchy (<= 1/8 the fine voxels)
+    is device-resident (_stream_mg_solve). Returns (3, D, H, W) float32
+    host flow. ``timer``: optional utils.profiling.PhaseTimer — records
+    presmooth/pyramid/per-level solve and upsample wall times
+    (CLI --timings).
     """
     from tpuflow3d.utils.profiling import PhaseTimer
 
     phase = PhaseTimer.maybe(timer)
 
     p = params
-    if p.solver == "multigrid":
-        raise ValueError("solver='multigrid' needs the whole grid resident "
-                         "(V-cycle restriction is global); the piecewise "
-                         "path streams chunks — use solver='sor'/'jacobi' "
-                         "here, or the in-core/sharded paths for multigrid")
     if p.flow_clamp <= 0:
         p = p.replace(flow_clamp=DEFAULT_FLOW_CLAMP)
     i0 = np.asarray(i0, np.float32)

@@ -177,11 +177,21 @@ def test_mg_early_stop_sharded_matches_unsharded():
     np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
-def test_piecewise_rejects_multigrid():
+def test_piecewise_multigrid_runs():
+    """solver='multigrid' composes with the out-of-core path (r5): the
+    fine level streams, the coarse chain is device-resident. Deep
+    equality gates live in test_piecewise.py; this is the smoke-level
+    recovery check at the composition point."""
     from tpuflow3d.piecewise import compute_flow_piecewise
-    i0 = np.zeros((16, 8, 8), np.float32)
-    with pytest.raises(ValueError, match="multigrid"):
-        compute_flow_piecewise(i0, i0, FlowParams(solver="multigrid"))
+    shape = (32, 32, 32)
+    i0, i1, true = syn.make_pair(shape, syn.translation((1.0, 0.0, -0.5)),
+                                 seed=3)
+    p = FlowParams(levels=2, warps=2, inner_iterations=2, sweeps=20,
+                   solver="multigrid", mg_cycles=2, alpha=0.05,
+                   backend="xla", flow_clamp=2.0)
+    got = compute_flow_piecewise(i0, i1, p, chunk_z=16)
+    mask = syn.interior_mask(shape, 3)
+    assert syn.epe(got, true, mask) < 0.1
 
 
 def test_cli_multigrid_flags():

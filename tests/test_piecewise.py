@@ -361,3 +361,125 @@ def test_gamma_fused_stream_pallas_matches_xla():
             fuse=True)
         np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4,
                                    err_msg=interp)
+
+
+# ---- streamed multigrid (r5: solver="multigrid" out-of-core) ----
+
+def _mg_frozen_system(shape=(48, 32, 32), gamma=0.0):
+    import jax.numpy as jnp
+
+    from tpuflow3d.derivatives import derivatives, grad_constancy_terms
+    from tpuflow3d.grid import HaloCtx
+    from tpuflow3d.mgsolver import data_block_d6
+    from tpuflow3d.solver import compute_terms
+    from tpuflow3d.warp import warp_volume
+
+    rng = np.random.default_rng(0)
+    i0 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    shift = jnp.zeros((3, *shape), jnp.float32).at[2].set(0.7)
+    i1 = warp_volume(i0, -shift)
+    g, it = derivatives(i0, i1)
+    gc = grad_constancy_terms(i0, i1, g=g) if gamma > 0 else None
+    p = FlowParams(solver="multigrid", mg_cycles=2, mg_pre=2, mg_post=2,
+                   alpha=0.05, gamma=gamma, backend="xla")
+    flow = jnp.zeros((3, *shape), jnp.float32)
+    du0 = jnp.zeros_like(flow)
+    t = compute_terms(g, it, flow, du0, p, HaloCtx(), gc=gc)
+    return t, p
+
+
+@pytest.mark.parametrize("chunk", [8, 16])
+def test_streamed_mg_frozen_solver_strict(chunk):
+    """On a frozen linear system, the streamed V-cycle (_stream_mg_solve:
+    trapezoid fine smooths + streamed residual/restriction + device
+    coarse chain) reproduces the in-core mg_solve to float-noise level,
+    independent of chunking."""
+    from tpuflow3d.mgsolver import data_block_d6, mg_solve
+    from tpuflow3d.piecewise import _stream_mg_solve
+
+    t, p = _mg_frozen_system()
+    shape = t.psi_s.shape
+    du_ref, _ = mg_solve(np.zeros((3, *shape), np.float32), t, p)
+    du_got = _stream_mg_solve(
+        np.zeros((3, *shape), np.float32), np.asarray(t.c),
+        np.asarray(t.psi_s), np.asarray(data_block_d6(t)), p, chunk)
+    np.testing.assert_allclose(du_got, np.asarray(du_ref), atol=2e-6)
+
+
+def test_streamed_mg_frozen_solver_gamma():
+    """Gradient-constancy twin: the full-rank data block (t.d6) streams
+    through the same machinery."""
+    from tpuflow3d.mgsolver import data_block_d6, mg_solve
+    from tpuflow3d.piecewise import _stream_mg_solve
+
+    t, p = _mg_frozen_system(gamma=1.0)
+    assert t.d6 is not None
+    shape = t.psi_s.shape
+    du_ref, _ = mg_solve(np.zeros((3, *shape), np.float32), t, p)
+    du_got = _stream_mg_solve(
+        np.zeros((3, *shape), np.float32), np.asarray(t.c),
+        np.asarray(t.psi_s), np.asarray(data_block_d6(t)), p, 16)
+    np.testing.assert_allclose(du_got, np.asarray(du_ref), atol=2e-6)
+
+
+def test_streamed_mg_single_warp_strict():
+    """One warp, one inner iteration: streamed mg pipeline must track
+    in-core tightly (no nonlinear amplification)."""
+    shape = (24, 16, 16)
+    i0, i1, _ = _pair(shape)
+    p = FlowParams(levels=1, warps=1, inner_iterations=1, sweeps=4,
+                   solver="multigrid", mg_cycles=2, median=False,
+                   presmooth_sigma=0.0, normalize=False,
+                   alpha=0.05, flow_clamp=4.0, backend="xla")
+    ref = np.asarray(compute_flow(i0, i1, p))
+    got = compute_flow_piecewise(i0, i1, p, chunk_z=8)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_streamed_mg_pipeline_full():
+    """Full coarse-to-fine mg pipeline (warps/inner/median/upsample)
+    streamed vs in-core. The bound reflects nonlinear warp amplification
+    of float noise, NOT solver drift (the frozen-system gate above is
+    2e-6); the SOR streamed path measures ~1.5e-3 max at the same
+    settings."""
+    shape = (48, 32, 32)
+    i0, i1, _ = _pair(shape)
+    p = FlowParams(levels=2, warps=2, inner_iterations=2, sweeps=20,
+                   solver="multigrid", mg_cycles=2, alpha=0.05,
+                   backend="xla", flow_clamp=2.0)
+    ref = np.asarray(compute_flow(i0, i1, p))
+    got = compute_flow_piecewise(i0, i1, p, chunk_z=16)
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+    assert float(np.abs(got - ref).mean()) < 1e-4
+
+
+def test_streamed_mg_gamma_pipeline():
+    """Same bound rationale as test_streamed_mg_pipeline_full; the gc
+    composition amplifies slightly more (second-derivative terms), max
+    measured 1.9e-3 on 0.016% of voxels — the SOR streamed baseline is
+    1.5e-3 at the same settings."""
+    shape = (48, 32, 32)
+    i0, i1, _ = _pair(shape)
+    p = FlowParams(levels=2, warps=2, inner_iterations=2, sweeps=20,
+                   solver="multigrid", mg_cycles=2, alpha=0.05, gamma=1.0,
+                   backend="xla", flow_clamp=2.0)
+    ref = np.asarray(compute_flow(i0, i1, p))
+    got = compute_flow_piecewise(i0, i1, p, chunk_z=16)
+    np.testing.assert_allclose(got, ref, atol=3e-3)
+    assert float(np.abs(got - ref).mean()) < 1e-4
+
+
+def test_streamed_mg_early_stop():
+    """residual_tol > 0: the streamed host-side early stop reproduces the
+    in-core while_loop's stopping decision and solution."""
+    from tpuflow3d.mgsolver import data_block_d6, mg_solve
+    from tpuflow3d.piecewise import _stream_mg_solve
+
+    t, p = _mg_frozen_system()
+    p = p.replace(mg_cycles=6, residual_tol=1e-4, sweeps=8)
+    shape = t.psi_s.shape
+    du_ref, _ = mg_solve(np.zeros((3, *shape), np.float32), t, p)
+    du_got = _stream_mg_solve(
+        np.zeros((3, *shape), np.float32), np.asarray(t.c),
+        np.asarray(t.psi_s), np.asarray(data_block_d6(t)), p, 16)
+    np.testing.assert_allclose(du_got, np.asarray(du_ref), atol=2e-6)

