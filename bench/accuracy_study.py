@@ -176,6 +176,17 @@ def main():
         ("tricubic_w8_restol_bf16_flat", base.replace(
             interp="tricubic", warps=8, sweeps=60, residual_tol=1e-6,
             terms_dtype="bfloat16", sweep_layout="flat")),
+        # r5: bf16-terms re-certified on the RECORD path (VERDICT r4 #7) —
+        # the mg gate config and the full composition with gamma (whose
+        # sweeps ride the packed-gc kernel at even W >= 256: bf16 c cuts
+        # its stream 40 -> 34 B/voxel). Gate: EPE delta vs the f32 twins
+        # (3.4e-4 / 3.37e-4) within the r3 certification band.
+        ("warps8_mg_tricubic_bf16", base.replace(
+            warps=8, solver="multigrid", mg_cycles=3, residual_tol=1e-6,
+            interp="tricubic", terms_dtype="bfloat16")),
+        ("warps8_mg_tricubic_gamma_bf16", base.replace(
+            warps=8, solver="multigrid", mg_cycles=3, residual_tol=1e-6,
+            interp="tricubic", gamma=1.0, terms_dtype="bfloat16")),
     ]
     if args.quick:
         configs = configs[:3]

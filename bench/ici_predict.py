@@ -115,6 +115,13 @@ def main():
                     default=[16, 32, 64, 128])
     ap.add_argument("--ici-gbps", type=float, default=45.0)
     ap.add_argument("--coll-latency-us", type=float, default=2.0)
+    ap.add_argument("--dcn-gbps", type=float, default=12.5,
+                    help="effective per-direction host-boundary DCN "
+                         "bandwidth (conservative public v5e-class figure:"
+                         " ~100-200 Gbps NICs per host => ~12.5-25 GB/s; "
+                         "the stated assumption of the N>=2-host leg)")
+    ap.add_argument("--dcn-latency-us", type=float, default=20.0)
+    ap.add_argument("--chips-per-host", type=int, default=4)
     ap.add_argument("--sor-fraction", type=float, default=0.787,
                     help="measured packed-SOR HBM fraction (bench.py)")
     ap.add_argument("--out", default=None)
@@ -167,6 +174,30 @@ def main():
     frac_t = lambda m: v5e_t(m) / max(args.sor_fraction, 1e-6)
     meas_t = lambda m: m["halfsweep_ms"] * 1e-3
 
+    def dcn_curve(t_comp_fn):
+        """N >= 2 HOSTS (the BASELINE weak-scaling gate's own wording):
+        Z sharded across chips-per-host * n_hosts chips; the step time is
+        set by a HOST-BOUNDARY chip, whose lo/hi halos ride DCN one way
+        and ICI the other — per half-sweep
+        t_halo = plane/dcn + lat_dcn + plane/ici + lat_ici (no overlap,
+        conservative)."""
+        dcn = args.dcn_gbps * 1e9
+        t_dcn_lat = args.dcn_latency_us * 1e-6
+        rows = []
+        for n_hosts in (2, 4):
+            per = []
+            for m in measured:
+                t_comp = t_comp_fn(m)
+                t_halo = (plane_bytes / dcn + t_dcn_lat
+                          + plane_bytes / ici + t_lat)
+                per.append({"per_dev_z": m["per_dev_z"],
+                            "efficiency": round(
+                                t_comp / (t_comp + t_halo), 4)})
+            rows.append({"hosts": n_hosts,
+                         "devices": n_hosts * args.chips_per_host,
+                         "per_config": per})
+        return rows
+
     rec = {
         "kind": "predicted_ici",
         "hw": hw,
@@ -186,6 +217,14 @@ def main():
             "from_measured_on_chip": curve(meas_t),
             "from_v5e_byte_model": curve(v5e_t),
             "from_v5e_derated_by_measured_fraction": curve(frac_t)},
+        "predicted_dcn": {
+            "assumptions": {"dcn_gbps": args.dcn_gbps,
+                            "dcn_latency_us": args.dcn_latency_us,
+                            "chips_per_host": args.chips_per_host,
+                            "worst_chip": "host-boundary (one DCN + one "
+                                          "ICI direction, no overlap)"},
+            "from_v5e_byte_model": dcn_curve(v5e_t),
+            "from_v5e_derated_by_measured_fraction": dcn_curve(frac_t)},
     }
     line = json.dumps(rec)
     print(line, flush=True)

@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--interp", default="trilinear",
                     choices=["trilinear", "tricubic"])
+    ap.add_argument("--solver", default="sor",
+                    choices=["sor", "jacobi", "multigrid"],
+                    help="multigrid = the r5 streamed V-cycle "
+                         "(piecewise._stream_mg_solve: fine level "
+                         "streamed, coarse chain device-resident)")
+    ap.add_argument("--mg-cycles", type=int, default=2)
     args = ap.parse_args()
 
     import jax
@@ -58,7 +64,8 @@ def main():
     p = FlowParams(levels=5, warps=2, inner_iterations=1, sweeps=12,
                    alpha=0.02, flow_clamp=2.0,
                    penalizer_data="quadratic",
-                   penalizer_smooth="quadratic", interp=args.interp)
+                   penalizer_smooth="quadratic", interp=args.interp,
+                   solver=args.solver, mg_cycles=args.mg_cycles)
 
     for k in range(args.warmup):
         print(f"ooc_point: warmup pass {k}...", file=sys.stderr, flush=True)
@@ -80,7 +87,7 @@ def main():
            "seconds": round(dt, 2),
            "voxels_per_s": round(float(np.prod(shape)) / dt, 1),
            "params": {"levels": p.levels, "warps": p.warps,
-                      "interp": p.interp,
+                      "interp": p.interp, "solver": p.solver,
                       "inner_iterations": p.inner_iterations,
                       "sweeps": p.sweeps},
            "central_flow_median": [round(m, 4) for m in med],

@@ -155,7 +155,12 @@ _register(OpSpec(
                    # 6 materialized weight volumes.
                    "gc packed (gamma > 0, even W >= 256)": 40.0,
                    "gc flat (gamma > 0, Pallas)": 64.0,
-                   "gc xla": 88.0}))
+                   "gc xla": 88.0,
+                   # terms_dtype=bfloat16 (storage-only c/g downcast;
+                   # kernels upcast in VMEM): c 12 -> 6 halves the rhs
+                   # stream of both packed layouts.
+                   "packed bf16 terms": 30.0,
+                   "gc packed bf16 terms": 34.0}))
 
 _register(OpSpec(
     name="median",

@@ -306,3 +306,48 @@ def test_mg_gamma_sharded_matches_unsharded():
     ref = np.asarray(compute_flow(i0, i1, prepare_params(p, 4)))
     got = np.asarray(compute_flow_sharded(i0, i1, p, make_z_mesh(4)))
     np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_mg_bf16_terms_epe_delta():
+    """bf16-terms certification on the RECORD path (VERDICT r4 #7): the
+    mg solver with terms_dtype='bfloat16' (storage-only downcast of c/g;
+    the smoother/residual upcast — solver.py contract) must match the
+    f32 twin's EPE within the r3 certification gate (3e-5), and the
+    Pallas gc smoother (which upcasts bf16 c in VMEM) must match the XLA
+    smoother on the same bf16 system."""
+    shape = (48, 48, 48)
+    i0, i1, true = syn.make_pair(shape, syn.translation((1.0, 0.0, -0.5)),
+                                 seed=3)
+    mask = syn.interior_mask(shape, 3)
+    base = dict(levels=2, warps=3, inner_iterations=2, sweeps=20,
+                solver="multigrid", mg_cycles=2, alpha=0.05,
+                interp="tricubic", flow_clamp=2.0)
+    e = {}
+    for name, kw in [("f32", {}), ("bf16", {"terms_dtype": "bfloat16"})]:
+        fl = np.asarray(compute_flow(i0, i1,
+                                     FlowParams(backend="xla", **base,
+                                                **kw)))
+        e[name] = syn.epe(fl, true, mask)
+    assert abs(e["bf16"] - e["f32"]) < 3e-5, e
+    fl_pal = np.asarray(compute_flow(
+        i0, i1, FlowParams(backend="pallas", terms_dtype="bfloat16",
+                           **base)))
+    e_pal = syn.epe(fl_pal, true, mask)
+    assert abs(e_pal - e["bf16"]) < 3e-5, (e_pal, e["bf16"])
+
+
+def test_mg_gamma_bf16_packed_gc_matches_xla():
+    """packed-gc x bf16 terms (the gamma production layout at even
+    W >= 256 packs (c, ainv, psi_s); bf16 c halves its stream share):
+    pallas backend == xla backend on the full mg+gamma+bf16 stack."""
+    shape = (16, 16, 16)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 0.5)),
+                              seed=5)
+    base = dict(levels=2, warps=1, inner_iterations=1, sweeps=4,
+                solver="multigrid", mg_cycles=2, alpha=0.05, gamma=1.0,
+                terms_dtype="bfloat16", flow_clamp=2.0)
+    ref = np.asarray(compute_flow(i0, i1, FlowParams(backend="xla",
+                                                     **base)))
+    got = np.asarray(compute_flow(i0, i1, FlowParams(backend="pallas",
+                                                     **base)))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
