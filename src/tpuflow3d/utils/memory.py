@@ -78,13 +78,24 @@ _STREAM_FIELDS_PER_VOXEL = 29
 def pick_chunk_z(shape, p, budget: int, lo: int = 8) -> int:
     """Largest streamed Z-chunk whose fused-launch slab footprint fits in
     half the device budget (the other half covers the resident du frontier
-    band, XLA temporaries, and double-buffered transfers)."""
+    band, XLA temporaries, and double-buffered transfers).
+
+    solver="multigrid" (r5): the streamed V-cycle keeps the coarse chain
+    device-RESIDENT (~16 channels at 1/2-per-axis = ~2 fine-channel
+    equivalents of the full volume, + the streamed-restriction rc/ec
+    temps); carve that out of the budget before sizing the slab."""
     from tpuflow3d.piecewise import DEFAULT_FLOW_CLAMP, stream_margin
 
     pp = p if p.flow_clamp > 0 else p.replace(flow_clamp=DEFAULT_FLOW_CLAMP)
     d, h, w = shape
-    per_plane = (h * w * np.dtype(p.dtype).itemsize
-                 * _STREAM_FIELDS_PER_VOXEL * _SLACK)
+    itemsize = np.dtype(p.dtype).itemsize
+    if p.solver == "multigrid":
+        # Coarse chain at shapes[1] (1/8 the voxels): c/psi_s/d6 (10) +
+        # w/ainv/sw (13) + du/rhs/temps (~9) ~= 32 channels * (1/8 +
+        # 1/64 + ...) ~= 4.6 fine-VOLUME-equivalents of bytes.
+        budget = max(budget - int(4.6 * d * h * w * itemsize * _SLACK),
+                     budget // 4)
+    per_plane = (h * w * itemsize * _STREAM_FIELDS_PER_VOXEL * _SLACK)
     chunk = int(budget * 0.5 / per_plane) - 2 * stream_margin(pp)
     return max(lo, min(chunk, d))
 
