@@ -197,4 +197,20 @@ PRESETS: dict[str, FlowParams] = {
                             inner_iterations=3, sweeps=20, z_multiple=8),
     "ladder1024": FlowParams(levels=7, scale_factor=0.5, warps=3,
                              inner_iterations=3, sweeps=20, z_multiple=8),
+    # r5: the accuracy-record configuration as a named preset (the
+    # STUDY gate winner: tricubic fused warp + multigrid + early stop —
+    # 256^3 EPE 3.4e-4 in-core, 384^3 EPE 2.0e-4 sharded; levels sized
+    # for >= 256^3, override --levels for smaller volumes). The -bf16
+    # twin stores sweep constants bfloat16 (certified EPE-unchanged,
+    # STUDY_256 warps8_mg_tricubic_bf16; ~17% less sweep HBM traffic).
+    "accurate": FlowParams(levels=5, scale_factor=0.5, warps=8,
+                           inner_iterations=3, sweeps=20,
+                           solver="multigrid", mg_cycles=3,
+                           residual_tol=1e-6, interp="tricubic",
+                           flow_clamp=2.0),
+    "accurate-bf16": FlowParams(levels=5, scale_factor=0.5, warps=8,
+                                inner_iterations=3, sweeps=20,
+                                solver="multigrid", mg_cycles=3,
+                                residual_tol=1e-6, interp="tricubic",
+                                flow_clamp=2.0, terms_dtype="bfloat16"),
 }

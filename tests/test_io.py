@@ -598,3 +598,19 @@ def test_cli_sequence_tracking(tmp_path):
     # --track outside --frames mode is a friendly error.
     assert cli.main(["--frame0", paths[0], "--frame1", paths[1],
                      "--out", out, "--track", seeds]) == 2
+
+
+def test_cli_accurate_preset():
+    """--preset accurate = the r5 record config (tricubic + multigrid +
+    early stop); -bf16 twin adds the certified storage downcast."""
+    from tpuflow3d.cli import build_parser, params_from_args
+    args = build_parser().parse_args(
+        ["--frame0", "a.raw", "--frame1", "b.raw", "--preset", "accurate"])
+    p = params_from_args(args)
+    assert (p.solver, p.interp, p.warps) == ("multigrid", "tricubic", 8)
+    assert p.residual_tol == 1e-6
+    args = build_parser().parse_args(
+        ["--frame0", "a.raw", "--frame1", "b.raw",
+         "--preset", "accurate-bf16", "--levels", "3"])
+    p = params_from_args(args)
+    assert p.terms_dtype == "bfloat16" and p.levels == 3
