@@ -614,3 +614,23 @@ def test_cli_accurate_preset():
          "--preset", "accurate-bf16", "--levels", "3"])
     p = params_from_args(args)
     assert p.terms_dtype == "bfloat16" and p.levels == 3
+
+
+def test_cli_auto_mode_piecewise_multigrid(tmp_path, monkeypatch):
+    """A too-big-for-device MULTIGRID run now streams instead of erroring
+    (r5: mg x piecewise closed) — auto-mode's handoff preserves the
+    record solver at any size on one device."""
+    from tpuflow3d import cli
+    f0, f1 = _auto_mode_pair(tmp_path)
+    logf = str(tmp_path / "log.jsonl")
+    monkeypatch.setenv("TPUFLOW_DEVICE_BYTES", "1000")
+    rc = cli.main(["--frame0", f0, "--frame1", f1,
+                   "--out", str(tmp_path / "flow_"), "--levels", "2",
+                   "--warps", "2", "--sweeps", "10",
+                   "--solver", "multigrid", "--mg-cycles", "2",
+                   "--log-json", logf])
+    assert rc == 0
+    ev = _auto_mode_events(logf)
+    assert ev and ev[0]["selected"] == "piecewise"
+    u = vio.read_raw(str(tmp_path / "flow_u.raw"))
+    assert abs(np.median(u[6:-6, 4:-4, 4:-4]) - 1.0) < 0.3
