@@ -223,7 +223,9 @@ def main():
                                "inner_iterations", "sweeps", "alpha",
                                "eps_data", "eps_smooth", "deriv_order",
                                "residual_tol", "interp", "solver",
-                               "backend", "flow_clamp")}}
+                               "backend", "flow_clamp", "gamma",
+                               "terms_dtype", "mg_cycles",
+                               "sweep_layout")}}
             f.write(json.dumps(row) + "\n")
             f.flush()
             print(json.dumps(row), flush=True)

@@ -31,34 +31,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
 
 import numpy as np
 
-from demo_1024_piecewise import SHIFT  # noqa: E402
+from demo_1024_piecewise import SHIFT, gen_pair  # noqa: E402
 
 
-def gen_window(z_lo, size_z, hw, n_terms=8, seed=0):
+def gen_window(z_lo, size_z, hw):
     """Planes [z_lo, z_lo + size_z) of demo_1024_piecewise.gen_pair's
-    analytic texture at (1024, hw, hw) — same spectrum, windowed in Z."""
-    rng = np.random.default_rng(seed)
-    freqs = 2 * np.pi / rng.uniform(8.0, 64.0, size=(n_terms, 3))
-    sgn = rng.choice([-1.0, 1.0], size=(n_terms, 3))
-    freqs *= sgn
-    phases = rng.uniform(0, 2 * np.pi, size=n_terms)
-    amps = rng.uniform(0.5, 1.0, size=n_terms)
-    zz = np.arange(z_lo, z_lo + size_z, dtype=np.float64)
-    yy = np.arange(hw, dtype=np.float64)
-    xx = np.arange(hw, dtype=np.float64)
-    out = []
-    for shift in ((0.0, 0.0, 0.0), SHIFT):
-        acc = np.zeros((size_z, hw, hw), np.float32)
-        for k in range(n_terms):
-            az, ay, ax = freqs[k]
-            ez = np.exp(1j * (az * (zz - shift[0]))).astype(np.complex64)
-            ey = np.exp(1j * (ay * (yy - shift[1]))).astype(np.complex64)
-            ex = np.exp(1j * (ax * (xx - shift[2]) + phases[k])).astype(
-                np.complex64)
-            eyx = ey[:, None] * ex[None, :]
-            acc += amps[k] * (ez[:, None, None] * eyx[None]).real
-        out.append(acc)
-    return out[0], out[1]
+    analytic texture — the SAME generator (z_lo window parameter), so
+    the slab is exactly what the full 1024^3 run would stream."""
+    return gen_pair((size_z, hw, hw), z_lo=z_lo)
 
 
 def main():

@@ -31,10 +31,12 @@ import numpy as np
 SHIFT = (1.25, -0.75, 0.5)  # (sz, sy, sx) voxels, |s| < flow_clamp=2
 
 
-def gen_pair(shape, n_terms=8, seed=0, chunk=64):
+def gen_pair(shape, n_terms=8, seed=0, chunk=64, z_lo=0):
     """(i0, i1) f32: i0 = sum_k cos(az*z + ay*y + ax*x + ph),
     i1(x) = i0(x - SHIFT) exactly (periodic analytic texture, feature
-    wavelengths 8-64 voxels)."""
+    wavelengths 8-64 voxels). ``z_lo`` generates the Z-window
+    [z_lo, z_lo + shape[0]) of the texture (bench/chunk1024_tpu.py
+    builds one slab of the 1024^3 volume without materializing it)."""
     rng = np.random.default_rng(seed)
     d, h, w = shape
     freqs = 2 * np.pi / rng.uniform(8.0, 64.0, size=(n_terms, 3))
@@ -43,7 +45,7 @@ def gen_pair(shape, n_terms=8, seed=0, chunk=64):
     phases = rng.uniform(0, 2 * np.pi, size=n_terms)
     amps = rng.uniform(0.5, 1.0, size=n_terms)
 
-    zz = np.arange(d, dtype=np.float64)
+    zz = np.arange(z_lo, z_lo + d, dtype=np.float64)
     yy = np.arange(h, dtype=np.float64)
     xx = np.arange(w, dtype=np.float64)
     out = []

@@ -180,23 +180,23 @@ def main():
         set by a HOST-BOUNDARY chip, whose lo/hi halos ride DCN one way
         and ICI the other — per half-sweep
         t_halo = plane/dcn + lat_dcn + plane/ici + lat_ici (no overlap,
-        conservative)."""
+        conservative). With Z sharding this worst-chip bound is
+        HOST-COUNT-INDEPENDENT (every added host adds one more boundary
+        pair but the slowest chip's halo cost is unchanged), so ONE row
+        covers every N >= 2."""
         dcn = args.dcn_gbps * 1e9
         t_dcn_lat = args.dcn_latency_us * 1e-6
-        rows = []
-        for n_hosts in (2, 4):
-            per = []
-            for m in measured:
-                t_comp = t_comp_fn(m)
-                t_halo = (plane_bytes / dcn + t_dcn_lat
-                          + plane_bytes / ici + t_lat)
-                per.append({"per_dev_z": m["per_dev_z"],
-                            "efficiency": round(
-                                t_comp / (t_comp + t_halo), 4)})
-            rows.append({"hosts": n_hosts,
-                         "devices": n_hosts * args.chips_per_host,
-                         "per_config": per})
-        return rows
+        per = []
+        for m in measured:
+            t_comp = t_comp_fn(m)
+            t_halo = (plane_bytes / dcn + t_dcn_lat
+                      + plane_bytes / ici + t_lat)
+            per.append({"per_dev_z": m["per_dev_z"],
+                        "efficiency": round(
+                            t_comp / (t_comp + t_halo), 4)})
+        return [{"hosts": ">=2 (host-count-independent worst-chip bound)",
+                 "chips_per_host": args.chips_per_host,
+                 "per_config": per}]
 
     rec = {
         "kind": "predicted_ici",

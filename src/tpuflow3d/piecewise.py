@@ -305,6 +305,12 @@ def _stream_mg_solve(du, c, psi_s, d6, p: FlowParams,
         sh_static = tuple(tuple(s) for s in shapes[1:])
 
     for _cyc in range(p.mg_cycles):
+        # Early stop needs the pre-cycle du to form mean|du_new - du|
+        # (the in-core metric). The full host copy costs one 3-channel
+        # volume (12.9 GB at 1024^3) only when residual_tol > 0 — the
+        # price of an exact stopping-decision match with mg_solve; a
+        # chunk-wise accumulation inside the post-smooth drain would
+        # avoid it but decide on partially-smoothed planes.
         du_prev = du.copy() if p.residual_tol > 0.0 else None
         if len(shapes) == 1:
             du = smooth(du, p.mg_pre)

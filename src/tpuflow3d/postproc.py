@@ -265,18 +265,21 @@ def read_seed_csv(path: str) -> np.ndarray:
             except ValueError:
                 numeric = False
             if first_content_line and not numeric:
-                # Only a FIRST line with NO parseable float at all passes
-                # as a header — '# comment', 'z y x', 'z,y,x' land here.
-                # A first line that parses PARTIALLY ('1.0,2.0,3.O') is a
-                # typo'd data row, not a header: fall through and raise
-                # with the line number instead of silently dropping it.
+                # A '#'-prefixed first line is ALWAYS a comment header
+                # (it may legitimately contain numbers: '# shift 1.5,
+                # -1.0'). Otherwise only a first line with NO parseable
+                # float passes as a header — 'z y x', 'z,y,x' land here;
+                # a first line that parses PARTIALLY ('1.0,2.0,3.O') is
+                # a typo'd data row, not a header: fall through and
+                # raise with the line number instead of dropping it.
                 def _is_float(v):
                     try:
                         float(v)
                         return True
                     except ValueError:
                         return False
-                if not any(_is_float(v) for v in parts):
+                if line.startswith("#") or \
+                        not any(_is_float(v) for v in parts):
                     first_content_line = False
                     continue
             first_content_line = False

@@ -81,23 +81,40 @@ def pick_chunk_z(shape, p, budget: int, lo: int = 8) -> int:
     band, XLA temporaries, and double-buffered transfers).
 
     solver="multigrid" (r5): the streamed V-cycle keeps the coarse chain
-    device-RESIDENT (~16 channels at 1/2-per-axis = ~2 fine-channel
-    equivalents of the full volume, + the streamed-restriction rc/ec
-    temps); carve that out of the budget before sizing the slab."""
+    device-RESIDENT (mg_coarse_resident_bytes); carve that out of the
+    budget before sizing the slab, and FAIL LOUDLY when the chain itself
+    cannot fit — silently flooring the budget would let a doomed run
+    stream for hours before the device OOMs at the finest level."""
     from tpuflow3d.piecewise import DEFAULT_FLOW_CLAMP, stream_margin
 
     pp = p if p.flow_clamp > 0 else p.replace(flow_clamp=DEFAULT_FLOW_CLAMP)
     d, h, w = shape
     itemsize = np.dtype(p.dtype).itemsize
     if p.solver == "multigrid":
-        # Coarse chain at shapes[1] (1/8 the voxels): c/psi_s/d6 (10) +
-        # w/ainv/sw (13) + du/rhs/temps (~9) ~= 32 channels * (1/8 +
-        # 1/64 + ...) ~= 4.6 fine-VOLUME-equivalents of bytes.
-        budget = max(budget - int(4.6 * d * h * w * itemsize * _SLACK),
-                     budget // 4)
+        reserve = mg_coarse_resident_bytes(shape, p)
+        if reserve > budget * 0.75:
+            raise ValueError(
+                f"streamed multigrid at {shape} needs a device-resident "
+                f"coarse hierarchy of ~{reserve / 2**30:.1f} GiB against "
+                f"a ~{budget / 2**30:.1f} GiB device: it cannot run "
+                "piecewise on this chip — use the Z-sharded path "
+                "(--sharded over enough devices) or solver='sor' "
+                "(fully streamed) at this size")
+        budget -= reserve
     per_plane = (h * w * itemsize * _STREAM_FIELDS_PER_VOXEL * _SLACK)
     chunk = int(budget * 0.5 / per_plane) - 2 * stream_margin(pp)
     return max(lo, min(chunk, d))
+
+
+def mg_coarse_resident_bytes(shape, p) -> int:
+    """Device-resident footprint of the streamed V-cycle's coarse chain
+    (piecewise._stream_mg_solve): c/psi_s/d6 (10) + w/ainv/sw (13) +
+    du/rhs/resize temps (~9) ~= 32 channels at the half-resolution level,
+    summed down the chain: ~32 * (1/8 + 1/64 + ...) ~= 4.6
+    fine-VOLUME-equivalents of bytes."""
+    d, h, w = shape
+    itemsize = np.dtype(p.dtype).itemsize
+    return int(4.6 * d * h * w * itemsize * _SLACK)
 
 
 def device_budget_bytes(device=None):

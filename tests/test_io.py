@@ -623,7 +623,12 @@ def test_cli_auto_mode_piecewise_multigrid(tmp_path, monkeypatch):
     from tpuflow3d import cli
     f0, f1 = _auto_mode_pair(tmp_path)
     logf = str(tmp_path / "log.jsonl")
-    monkeypatch.setenv("TPUFLOW_DEVICE_BYTES", "1000")
+    # Budget below the in-core peak even x8 devices (~1.5 MB need vs
+    # 8 x 180 KB) so auto-mode streams, yet big enough for the
+    # device-resident mg coarse chain (~130 KB <= 0.75 x budget): the mg
+    # chunk sizing accepts it (an infeasible-chain budget raises loudly
+    # instead — see test_pick_chunk_z_mg_infeasible_raises).
+    monkeypatch.setenv("TPUFLOW_DEVICE_BYTES", "180000")
     rc = cli.main(["--frame0", f0, "--frame1", f1,
                    "--out", str(tmp_path / "flow_"), "--levels", "2",
                    "--warps", "2", "--sweeps", "10",

@@ -327,3 +327,9 @@ def test_read_seed_csv_typod_first_row_raises(tmp_path):
         fh.write("1.0,2.0,3.O\n4.0,5.0,6.0\n")
     with pytest.raises(ValueError, match=":1:"):
         postproc.read_seed_csv(p)
+    # ...but a '#'-comment first line may contain numbers and still pass
+    # as a header.
+    p = str(tmp_path / "numcomment.csv")
+    with open(p, "w") as fh:
+        fh.write("# shift 1.5, -1.0, 0.75\n4.0,5.0,6.0\n")
+    np.testing.assert_allclose(postproc.read_seed_csv(p), [[4, 5, 6]])

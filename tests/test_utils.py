@@ -72,3 +72,22 @@ def test_ops_registry_statistics():
     assert float(stats["min"]) == 1.0
     assert float(stats["max"]) == 4.0
     assert abs(float(stats["mean"]) - 2.5) < 1e-6
+
+
+def test_pick_chunk_z_mg_infeasible_raises():
+    """A streamed-mg run whose device-resident coarse chain cannot fit
+    the device must fail LOUDLY at sizing time, not stream for hours and
+    OOM at the finest level (r5 code review)."""
+    import pytest
+
+    from tpuflow3d.params import FlowParams
+    from tpuflow3d.utils import memory as mem
+
+    p = FlowParams(solver="multigrid", mg_cycles=2)
+    shape = (1024, 1024, 1024)
+    need = mem.mg_coarse_resident_bytes(shape, p)
+    assert need > 16 * 2**30  # ~23 GB: genuinely does not fit a v5e
+    with pytest.raises(ValueError, match="coarse hierarchy"):
+        mem.pick_chunk_z(shape, p, budget=16 * 2**30)
+    # sor at the same size sizes fine (fully streamed).
+    assert mem.pick_chunk_z(shape, FlowParams(), budget=16 * 2**30) >= 8
