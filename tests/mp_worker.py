@@ -56,8 +56,10 @@ def main():
     meta = vio.read_sidecar(os.path.join(workdir, "a.raw"))
     levels = int(os.environ.get("MP_WORKER_LEVELS", "2"))
     sweeps = int(os.environ.get("MP_WORKER_SWEEPS", "5"))
+    solver = os.environ.get("MP_WORKER_SOLVER", "sor")
     p = FlowParams(levels=levels, warps=1, inner_iterations=1, sweeps=sweeps,
-                   alpha=0.05)
+                   alpha=0.05, solver=solver,
+                   **({"mg_cycles": 2} if solver == "multigrid" else {}))
     mesh = dist.global_z_mesh()
     args = (os.path.join(workdir, "a.raw"), os.path.join(workdir, "b.raw"),
             meta, p, mesh)

@@ -269,3 +269,34 @@ def test_fault_rank0_coordinator_killed(tmp_path):
     u = vio.read_raw(str(tmp_path / "mpflow_u.raw"),
                      vio.VolumeMeta(shape, "float32"))
     np.testing.assert_allclose(u, ref[2], atol=1e-5, rtol=1e-4)
+
+
+def test_two_process_distributed_multigrid(tmp_path):
+    """The multigrid solver under the REAL multi-process backend (gloo
+    jax.distributed, 1 device per process): the V-cycle's restriction/
+    prolongation/psum'd while_loop early machinery all cross process
+    boundaries; must match the single-process 2-device-mesh run."""
+    shape = (16, 12, 12)
+    i0, i1, _ = syn.make_pair(shape, syn.translation((0.5, 0.0, 0.5)),
+                              seed=11)
+    vio.write_raw(str(tmp_path / "a.raw"), i0)
+    vio.write_raw(str(tmp_path / "b.raw"), i1)
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["MP_WORKER_SOLVER"] = "multigrid"
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(r), "2", "23468", str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for r in range(2)]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "ok" in out, out
+
+    p2 = FlowParams(levels=2, warps=1, inner_iterations=1, sweeps=5,
+                    alpha=0.05, solver="multigrid", mg_cycles=2)
+    ref = np.asarray(compute_flow_sharded(i0, i1, p2, make_z_mesh(2)))
+    u = vio.read_raw(str(tmp_path / "mpflow_u.raw"),
+                     vio.VolumeMeta(shape, "float32"))
+    np.testing.assert_allclose(u, ref[2], atol=1e-5, rtol=1e-4)
