@@ -80,6 +80,11 @@ def main():
         "mg_tricubic_clamp6": base.replace(
             warps=8, solver="multigrid", mg_cycles=3, residual_tol=1e-6,
             interp="tricubic", flow_clamp=6.0),
+        # Full composition stack at scale (r5): gamma x tricubic x mg —
+        # the 256^3 3.37e-4 config, sharded.
+        "warps8_mg_tricubic_gamma": base.replace(
+            warps=8, solver="multigrid", mg_cycles=3, residual_tol=1e-6,
+            interp="tricubic", gamma=1.0),
         # Cheap smoke config for calibration.
         "smoke": base.replace(warps=2, inner_iterations=2, sweeps=8),
     }
