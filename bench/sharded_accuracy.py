@@ -43,9 +43,17 @@ def main():
                     default=(1.5, -1.0, 0.75))
     args = ap.parse_args()
 
+    # A 4-core host running 8 virtual device threads can starve one
+    # thread past XLA:CPU's default 40 s collective-rendezvous kill
+    # (observed once at 448^3: 'Termination timeout for collective
+    # permute ... 7 of 8 arrived'); raise the terminate/warn timeouts —
+    # purely a host-emulation artifact mitigation, meaningless on real
+    # meshes.
     os.environ.setdefault(
         "XLA_FLAGS",
-        f"--xla_force_host_platform_device_count={args.devices}")
+        f"--xla_force_host_platform_device_count={args.devices} "
+        "--xla_cpu_collective_call_warn_stuck_timeout_seconds=120 "
+        "--xla_cpu_collective_call_terminate_timeout_seconds=1200")
     import jax
     jax.config.update("jax_platforms", "cpu")
     import numpy as np
