@@ -49,11 +49,15 @@ def main():
     # permute ... 7 of 8 arrived'); raise the terminate/warn timeouts —
     # purely a host-emulation artifact mitigation, meaningless on real
     # meshes.
-    os.environ.setdefault(
-        "XLA_FLAGS",
-        f"--xla_force_host_platform_device_count={args.devices} "
-        "--xla_cpu_collective_call_warn_stuck_timeout_seconds=120 "
-        "--xla_cpu_collective_call_terminate_timeout_seconds=1200")
+    flags = os.environ.get("XLA_FLAGS", "")
+    for f in (f"--xla_force_host_platform_device_count={args.devices}",
+              "--xla_cpu_collective_call_warn_stuck_timeout_seconds=120",
+              "--xla_cpu_collective_call_terminate_timeout_seconds=1200"):
+        # Merge (not setdefault): a caller-set XLA_FLAGS must not
+        # silently drop the timeout mitigation.
+        if f.split("=")[0] not in flags:
+            flags = f"{flags} {f}".strip()
+    os.environ["XLA_FLAGS"] = flags
     import jax
     jax.config.update("jax_platforms", "cpu")
     import numpy as np
@@ -133,7 +137,8 @@ def main():
                        "inner_iterations", "sweeps", "alpha",
                        "eps_data", "eps_smooth", "deriv_order",
                        "residual_tol", "interp", "solver",
-                       "backend", "flow_clamp", "mg_cycles")}}
+                       "backend", "flow_clamp", "mg_cycles",
+                       "gamma", "terms_dtype", "sweep_layout")}}
     out_path = args.out or f"STUDY_{size}.jsonl"
     with open(out_path, "a") as f:
         f.write(json.dumps(row) + "\n")

@@ -57,9 +57,9 @@ def main():
     levels = int(os.environ.get("MP_WORKER_LEVELS", "2"))
     sweeps = int(os.environ.get("MP_WORKER_SWEEPS", "5"))
     solver = os.environ.get("MP_WORKER_SOLVER", "sor")
+    # mg_cycles stays at its default (2), matching the test's reference.
     p = FlowParams(levels=levels, warps=1, inner_iterations=1, sweeps=sweeps,
-                   alpha=0.05, solver=solver,
-                   **({"mg_cycles": 2} if solver == "multigrid" else {}))
+                   alpha=0.05, solver=solver)
     mesh = dist.global_z_mesh()
     args = (os.path.join(workdir, "a.raw"), os.path.join(workdir, "b.raw"),
             meta, p, mesh)

@@ -271,6 +271,7 @@ def test_fault_rank0_coordinator_killed(tmp_path):
     np.testing.assert_allclose(u, ref[2], atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_two_process_distributed_multigrid(tmp_path):
     """The multigrid solver under the REAL multi-process backend (gloo
     jax.distributed, 1 device per process): the V-cycle's restriction/
